@@ -1,0 +1,363 @@
+"""Sliding-window visual-inertial bundle adjustment: batched Schur-LM.
+
+This module replaces the entire Ceres stack of the reference
+(reference: cpp/src/optimizers/AOptimizer.cpp:98-446 -- landmarkOptimization,
+singleFrameOptimization, singleFrameVIOptimization, localMapBA,
+localMapVIOptimization) with one jit-compiled Levenberg-Marquardt solver
+built around an explicit Schur complement:
+
+* Every landmark *not* retained by the marginalization prior is eliminated
+  with an independent 3x3 block (batched over the L axis -- the TPU analog of
+  Ceres' Schur ordering groups, BundleAdjustmentCERESAnalytic.cpp:216-246).
+* The dense (reduced) system holds the K keyframe 15-dof states plus the P
+  prior-retained landmarks, so sparsified landmark-coupling factors
+  (Chow-Liu chains) stay exact.  Solved with Cholesky.
+* Reprojection Jacobians are hand-derived (hot path); all small factors (IMU,
+  bias walk, priors, chains) are linearized with one jacfwd over the dense
+  delta -- exact, no hand chain rule.
+
+VO and VIO share the solver: with no IMU factors, velocity/bias dims are held
+by the LM damping and stay at zero.  Fixed frames (gauge) are handled by
+masking their columns out of the normal equations, like the reference's
+SetParameterBlockConstant (AOptimizer.cpp:321-333).
+
+Solving convention: residuals r(x), minimize ||r||^2.  Normal equations
+H dx = b with H = J^T W J, b = -J^T W r; landmarks eliminated by
+  dl = Hll^-1 (bl - Hpl^T dp).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sadvio_tpu.backend import factors
+from sadvio_tpu.data.window import ImuChain, Observations, PriorSet, Rig, WindowState
+from sadvio_tpu.models import imu as imu_mod
+from sadvio_tpu.utils import geometry as geo
+
+D = 15  # per-keyframe state dof: [omega(3), nu(3), dv(3), dba(3), dbg(3)]
+
+
+@struct.dataclass
+class BAOptions:
+    sigma_px: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    huber: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.345))
+    iters: int = struct.field(pytree_node=False, default=10)
+    lam_init: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1e-4))
+    lam_up: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(10.0))
+    lam_down: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.5))
+    jitter: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1e-5))
+    acc_walk: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0e-3))
+    gyr_walk: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0e-5))
+
+
+class BAProblem(NamedTuple):
+    state: WindowState
+    obs: Observations
+    rig: Rig
+    imu: ImuChain
+    priors: PriorSet
+    fixed_mask: jnp.ndarray  # (K,) bool: pose frozen (gauge)
+    opt_lmk_only: jnp.ndarray  # () bool: freeze all KF states (landmarkOptimization)
+
+
+def make_problem(state, obs, rig, imu=None, priors=None, fixed_mask=None, lmk_only=False):
+    K = state.K
+    if imu is None:
+        imu = ImuChain.create(K)
+    if priors is None:
+        priors = PriorSet.create(K, 8)
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros((K,), bool).at[0].set(True)
+    return BAProblem(state, obs, rig, imu, priors, fixed_mask, jnp.asarray(lmk_only))
+
+
+# ---------------------------------------------------------------------------
+# slot bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def slot_of_lmk(priors: PriorSet, L: int):
+    """(L,) int32: retained-slot index of each landmark, P if eliminated."""
+    P = priors.P
+    out_ext = jnp.full((L + 1,), P, jnp.int32)
+    idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, L)  # L = dump row
+    out_ext = out_ext.at[idx].set(jnp.arange(P, dtype=jnp.int32))
+    return out_ext[:L]
+
+
+# ---------------------------------------------------------------------------
+# reprojection linearization (hand-derived hot path)
+# ---------------------------------------------------------------------------
+
+
+def _reproj_terms(state: WindowState, obs: Observations, rig: Rig, opts: BAOptions):
+    """Linearize all (K,C,L) reprojection residuals at the current state.
+
+    Returns r (K,C,L,2), J_pose (K,C,L,2,6), J_lmk (K,C,L,2,3),
+    m (K,C,L) base mask (obs & valid & alive), w (K,C,L) = m * Huber weight.
+    """
+
+    def per_cam(cam_c, Rfs_c, tfs_c, uv_c, m_c):
+        Rb = state.R[:, None]
+        tb = state.t[:, None]
+        p = state.lmk[None, :]
+        r, Jp, Jl, valid = factors.reprojection_residual(
+            cam_c, Rb, tb, Rfs_c, tfs_c, p, uv_c, opts.sigma_px
+        )
+        m = (m_c & valid & state.lmk_mask[None, :] & state.kf_mask[:, None]).astype(r.dtype)
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = m * factors.huber_weight(rn, opts.huber)
+        return r, Jp, Jl, m, w
+
+    cam_axes = jax.tree.map(lambda _: 0, rig.cam)
+    r, Jp, Jl, m, w = jax.vmap(per_cam, in_axes=(cam_axes, 0, 0, 1, 1), out_axes=1)(
+        rig.cam, rig.R_f_s, rig.t_f_s, obs.uv, obs.mask
+    )
+    return r, Jp, Jl, m, w
+
+
+# ---------------------------------------------------------------------------
+# dense-factor residuals (IMU, bias, priors, chains) -- autodiff linearized
+# ---------------------------------------------------------------------------
+
+
+def _apply_dense_delta(state: WindowState, priors: PriorSet, dxd):
+    """Retract the dense delta [K*D + P*3] onto the window state."""
+    K = state.K
+    dk = dxd[: K * D].reshape(K, D)
+    R, t = geo.pose_retract(state.R, state.t, dk[:, :6])
+    v = state.v + dk[:, 6:9]
+    ba = state.ba + dk[:, 9:12]
+    bg = state.bg + dk[:, 12:15]
+    dl = dxd[K * D :].reshape(-1, 3)
+    upd = jnp.where(priors.prior_slot_mask[:, None], dl, 0.0)
+    idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, state.L)
+    lmk = jnp.concatenate([state.lmk, jnp.zeros((1, 3), state.lmk.dtype)])
+    lmk = lmk.at[idx].add(upd)[: state.L]
+    return state.replace(R=R, t=t, v=v, ba=ba, bg=bg, lmk=lmk)
+
+
+def _dense_residuals(state: WindowState, imu: ImuChain, priors: PriorSet, opts: BAOptions):
+    """All whitened non-reprojection residuals, masked, as one flat vector."""
+    K = state.K
+
+    # IMU preintegration factors between consecutive slots (k, k+1)
+    def imu_r(pre, m, k):
+        W = imu_mod.sqrt_info(pre)
+        r = factors.imu_factor_residual(
+            pre, W,
+            state.R[k], state.t[k], state.v[k], state.ba[k], state.bg[k],
+            state.R[k + 1], state.t[k + 1], state.v[k + 1],
+        )
+        rb = factors.bias_rw_residual(
+            state.ba[k], state.bg[k], state.ba[k + 1], state.bg[k + 1],
+            pre.dt, opts.acc_walk, opts.gyr_walk,
+        )
+        return jnp.where(m, r, 0.0), jnp.where(m, rb, 0.0)
+
+    ks = jnp.arange(K - 1)
+    r_imu, r_bias = jax.vmap(imu_r)(imu.pre, imu.mask, ks)
+
+    # 15-dof state priors per KF
+    def sp_r(k):
+        r = factors.state_prior_residual(
+            state.R[k], state.t[k], state.v[k], state.ba[k], state.bg[k],
+            priors.sp_R[k], priors.sp_t[k], priors.sp_v[k], priors.sp_ba[k],
+            priors.sp_bg[k], priors.sp_sqrt_info[k],
+        )
+        return jnp.where(priors.sp_mask[k], r, 0.0)
+
+    r_sp = jax.vmap(sp_r)(jnp.arange(K))
+
+    # retained landmark positions
+    lmk_ext = jnp.concatenate([state.lmk, jnp.zeros((1, 3), state.lmk.dtype)])
+    idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, state.L)
+    pl = lmk_ext[idx]  # (P,3)
+
+    r_lp = jnp.einsum("pab,pb->pa", priors.lp_sqrt_info, pl - priors.lp_val)
+    r_lp = jnp.where(priors.lp_mask[:, None], r_lp, 0.0)
+
+    Rf = state.R[priors.plp_frame]
+    tf = state.t[priors.plp_frame]
+    p_f = jnp.einsum("pji,pj->pi", Rf, pl - tf)
+    r_plp = jnp.einsum("pab,pb->pa", priors.plp_sqrt_info, p_f - priors.plp_val)
+    r_plp = jnp.where(priors.plp_mask[:, None], r_plp, 0.0)
+
+    pa = pl[priors.ll_a]
+    pb = pl[priors.ll_b]
+    r_ll = jnp.einsum("pab,pb->pa", priors.ll_sqrt_info, (pa - pb) - priors.ll_val)
+    r_ll = jnp.where(priors.ll_mask[:, None], r_ll, 0.0)
+
+    return jnp.concatenate(
+        [r_imu.reshape(-1), r_bias.reshape(-1), r_sp.reshape(-1),
+         r_lp.reshape(-1), r_plp.reshape(-1), r_ll.reshape(-1)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# normal equations assembly + Schur + solve (one LM iteration)
+# ---------------------------------------------------------------------------
+
+
+def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
+    """Linearize at the problem state, solve the damped system, return deltas."""
+    state, obs, rig, imu, priors = (
+        problem.state, problem.obs, problem.rig, problem.imu, problem.priors,
+    )
+    K, C, L = obs.mask.shape
+    P = priors.P
+    Dd = K * D + P * 3
+    dt_ = state.lmk.dtype
+
+    r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
+
+    slot = slot_of_lmk(priors, L)
+    retained = slot < P
+    elim = state.lmk_mask & ~retained
+
+    # per-landmark accumulations (sum over K,C)
+    wJl = w[..., None, None] * Jl
+    Hll = jnp.einsum("kclai,kclaj->lij", wJl, Jl)
+    bl = -jnp.einsum("kclai,kcla->li", wJl, r)
+    wJp = w[..., None, None] * Jp
+    Hpl = jnp.einsum("kclai,kclaj->klij", wJp, Jl)  # (K,L,6,3)
+    Hpp = jnp.einsum("kclai,kclaj->kij", wJp, Jp)  # (K,6,6)
+    bp = -jnp.einsum("kclai,kcla->ki", wJp, r)  # (K,6)
+
+    # retained-slot scatter (one-hot over P)
+    S = ((slot[:, None] == jnp.arange(P)[None, :]) & state.lmk_mask[:, None]).astype(dt_)
+    Hll_ret = jnp.einsum("lp,lij->pij", S, Hll)
+    bl_ret = jnp.einsum("lp,li->pi", S, bl)
+    Hx = jnp.einsum("lp,klij->kpij", S, Hpl)  # (K,P,6,3)
+
+    # eliminated blocks, LM-damped before inversion
+    em = elim.astype(dt_)
+    Hll_e = Hll * em[:, None, None]
+    bl_e = bl * em[:, None]
+    Hpl_e = Hpl * em[None, :, None, None]
+    dll = jnp.abs(jnp.diagonal(Hll_e, axis1=-2, axis2=-1))  # (L,3)
+    damp = lam * dll + opts.jitter + (1.0 - em[:, None])
+    Hll_d = Hll_e + jax.vmap(jnp.diag)(damp)
+    Hll_inv = jnp.linalg.inv(Hll_d) * em[:, None, None]
+    W_kl = jnp.einsum("klij,ljm->klim", Hpl_e, Hll_inv)
+    Hred_corr = -jnp.einsum("klab,qlcb->kqac", W_kl, Hpl_e)  # (K,K,6,6)
+    bred_corr = -jnp.einsum("klab,lb->ka", W_kl, bl_e)
+
+    # dense normal equations from small factors (autodiff at zero delta)
+    def rfun(dxd):
+        st = _apply_dense_delta(state, priors, dxd)
+        return _dense_residuals(st, imu, priors, opts)
+
+    dx0 = jnp.zeros((Dd,), dt_)
+    r_dense = rfun(dx0)
+    J_dense = jax.jacfwd(rfun)(dx0)
+    H = J_dense.T @ J_dense
+    b = -J_dense.T @ r_dense
+
+    # scatter reprojection blocks into the dense system
+    H4 = H[: K * D, : K * D].reshape(K, D, K, D)
+    Hpp_full = Hpp[:, None] * jnp.eye(K, dtype=dt_)[:, :, None, None] + Hred_corr
+    H4 = H4.at[:, :6, :, :6].add(jnp.swapaxes(Hpp_full, 1, 2))
+    H = H.at[: K * D, : K * D].set(H4.reshape(K * D, K * D))
+    bp_full = bp + bred_corr
+    b = b.at[: K * D].add(
+        jnp.concatenate([bp_full, jnp.zeros((K, D - 6), dt_)], axis=1).reshape(-1)
+    )
+
+    Hd = H[K * D :, K * D :].reshape(P, 3, P, 3)
+    Hd = Hd + Hll_ret[:, :, None, :] * jnp.eye(P, dtype=dt_)[:, None, :, None]
+    H = H.at[K * D :, K * D :].set(Hd.reshape(P * 3, P * 3))
+    b = b.at[K * D :].add(bl_ret.reshape(-1))
+
+    Hc = H[: K * D, K * D :].reshape(K, D, P, 3)
+    Hc = Hc.at[:, :6].add(jnp.swapaxes(Hx, 1, 2))  # (K,P,6,3) -> (K,6,P,3)
+    Hc2 = Hc.reshape(K * D, P * 3)
+    H = H.at[: K * D, K * D :].set(Hc2)
+    H = H.at[K * D :, : K * D].set(Hc2.T)
+
+    # freeze masked dims, Jacobi-equilibrate (the dense system mixes IMU info
+    # ~1e8 with reprojection info ~1e2 -- f32 Cholesky needs unit diagonal),
+    # and apply multiplicative LM damping on the scaled diagonal.
+    eye = jnp.eye(Dd, dtype=dt_)
+    Hm = H * free[:, None] * free[None, :] + eye * (1.0 - free)
+    bm = b * free
+    s = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(Hm), 1e-10, None))
+    Hs = Hm * s[:, None] * s[None, :] + eye * (lam + opts.jitter)
+    Lc = jnp.linalg.cholesky(Hs)
+    ok = jnp.all(jnp.isfinite(Lc))
+    y = jax.scipy.linalg.cho_solve((jnp.where(ok, Lc, eye), True), bm * s)
+    dxd = jnp.where(ok, y * s, 0.0) * free
+
+    # back-substitute eliminated landmarks
+    dpose = dxd[: K * D].reshape(K, D)[:, :6]
+    rhs = bl_e - jnp.einsum("klij,ki->lj", Hpl_e, dpose)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs)
+    dl = jnp.where(elim[:, None], dl, 0.0)
+    return dxd, dl, ok
+
+
+def _free_mask(problem: BAProblem):
+    """(Dd,) 1.0 where the dim is free, 0.0 where frozen."""
+    pose_free = (problem.state.kf_mask & ~problem.fixed_mask).astype(jnp.float32)
+    kf_free = problem.state.kf_mask.astype(jnp.float32)
+    m_k = jnp.concatenate(
+        [jnp.repeat(pose_free[:, None], 6, 1), jnp.repeat(kf_free[:, None], 9, 1)],
+        axis=1,
+    )
+    m_k = m_k * jnp.where(problem.opt_lmk_only, 0.0, 1.0)
+    m_p = jnp.repeat(problem.priors.prior_slot_mask.astype(jnp.float32)[:, None], 3, 1)
+    return jnp.concatenate([m_k.reshape(-1), m_p.reshape(-1)])
+
+
+def robust_cost(problem: BAProblem, opts: BAOptions):
+    """Total robust cost (true Huber, not its IRLS approximation)."""
+    state = problem.state
+    r, _, _, m, _ = _reproj_terms(state, problem.obs, problem.rig, opts)
+    rn = jnp.linalg.norm(r, axis=-1)
+    d = opts.huber
+    rho = jnp.where(rn <= d, rn * rn, 2.0 * d * rn - d * d)
+    c_reproj = jnp.sum(m * rho)
+    rd = _dense_residuals(state, problem.imu, problem.priors, opts)
+    return c_reproj + jnp.sum(rd * rd)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def _ba_solve_impl(problem: BAProblem, opts: BAOptions, n_iters: int):
+    free = _free_mask(problem)
+
+    def iteration(carry, _):
+        state, lam, cost = carry
+        prob = problem._replace(state=state)
+        dxd, dl, ok = _lm_step(prob, opts, free, lam)
+        trial = _apply_dense_delta(state, problem.priors, dxd)
+        trial = trial.replace(lmk=trial.lmk + dl)
+        new_cost = robust_cost(problem._replace(state=trial), opts)
+        accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
+        state = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), trial, state)
+        lam = jnp.clip(
+            jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up), 1e-9, 1e6
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return (state, lam, cost), (cost, accept)
+
+    cost0 = robust_cost(problem, opts)
+    (state, lam, cost), (costs, accepts) = jax.lax.scan(
+        iteration, (problem.state, opts.lam_init, cost0), None, length=n_iters
+    )
+    return state, {"cost0": cost0, "cost": cost, "costs": costs, "accepted": accepts}
+
+
+def ba_solve(problem: BAProblem, opts: BAOptions):
+    """Run LM on the window problem; returns (new_state, stats).
+
+    One compiled kernel per (K,C,L,P,iters) signature -- reused across all
+    keyframes of a run (fixed shapes), unlike the reference which re-builds a
+    Ceres problem per call (AOptimizer.cpp:299-350).
+    """
+    return _ba_solve_impl(problem, opts, opts.iters)

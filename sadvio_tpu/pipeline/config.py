@@ -1,0 +1,166 @@
+"""Configuration system: two-level YAML matching the reference scheme.
+
+Reference: config.yaml (algorithm parameters, parsed at
+cpp/src/utilities/ConfigFileReader.cpp:5-59, schema in ConfigFileReader.h:8-54
+and ros/config/config.yaml:1-167) + dataset yaml (sensor calibration, parsed
+at cpp/src/dataproviders/adataprovider.cpp:28-175, e.g.
+ros/config/dataset/eth.yaml).
+
+Here both levels are frozen dataclasses loadable from the same YAML layouts;
+capacities (static array sizes) are a third, TPU-specific group.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import yaml
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Per-feature-type settings (FeatureStruct, ConfigFileReader.h:8-24)."""
+
+    label: str = "pointxd"
+    detector: str = "fast"
+    tracker: str = "klt"
+    matcher: str = "brief"
+    n_total: int = 400
+    n_per_cell: int = 5
+    max_reproj_err: float = 2.0
+
+
+@dataclass(frozen=True)
+class Capacities:
+    """Static array capacities (TPU fixed-shape discipline)."""
+
+    K: int = 13  # keyframe slots (max_kf_number + current)
+    L: int = 512  # landmark slots
+    P: int = 48  # prior-retained landmark slots
+    N_imu: int = 64  # IMU samples per KF interval buffer
+    pyr_levels: int = 3
+    klt_radius: int = 7
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    """Algorithm parameters (Config struct, ConfigFileReader.h:26-54)."""
+
+    slam_mode: str = "bimonovio"  # mono|bimono|monovio|bimonovio|nofov
+    tracker: str = "klt"
+    pose_estimator: str = "pnp"
+    optimizer: str = "analytic"
+    contrast_enhancer: str = "none"  # none|clahe|histeq
+    marginalization: bool = True
+    sparsification: bool = True
+    mesh3d: bool = False
+    min_kf_number: int = 3
+    max_kf_number: int = 12
+    fixed_frame_number: int = 1
+    min_lmk_number: int = 35
+    min_movement_parallax: float = 0.05  # deg, forces KF below
+    max_movement_parallax: float = 4.0  # deg, forces KF above
+    zncc_tsh: float = 0.8
+    max_length_tsh: float = 0.5
+    features: tuple = (FeatureConfig(),)
+    caps: Capacities = Capacities()
+
+
+@dataclass(frozen=True)
+class CameraCalib:
+    model: str  # pinhole|fisheye|double_sphere|omni
+    width: int
+    height: int
+    intrinsics: tuple  # fx fy cx cy (+ model extras)
+    distortion: tuple  # radtan k1 k2 p1 p2 (pinhole undistort path)
+    T_f_s: tuple  # 4x4 row-major body-from-sensor (EuRoC T_BS)
+
+
+@dataclass(frozen=True)
+class ImuCalib:
+    rate_hz: float = 200.0
+    acc_noise: float = 2.0e-3
+    gyr_noise: float = 1.7e-4
+    acc_walk: float = 3.0e-3
+    gyr_walk: float = 2.0e-5
+    T_f_s: tuple = tuple(np.eye(4).reshape(-1).tolist())
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    cameras: tuple = ()
+    imu: Optional[ImuCalib] = None
+
+
+def load_slam_config(path: str) -> SLAMConfig:
+    """Parse a config.yaml in the reference's layout."""
+    with open(path) as f:
+        y = yaml.safe_load(f)
+    feats = []
+    for fd in y.get("features_handled", []) or []:
+        feats.append(FeatureConfig(
+            label=fd.get("label", "pointxd"),
+            detector=fd.get("detector", "fast"),
+            tracker=fd.get("tracker", "klt"),
+            matcher=fd.get("matcher", "brief"),
+            n_total=int(fd.get("number_detected", 400)),
+            n_per_cell=int(fd.get("number_kept", 5)),
+            max_reproj_err=float(fd.get("max_reproj_err", 2.0)),
+        ))
+    kw = {}
+    for key in ("slam_mode", "tracker", "pose_estimator", "optimizer",
+                "contrast_enhancer"):
+        if key in y:
+            kw[key] = str(y[key])
+    for key in ("min_kf_number", "max_kf_number", "fixed_frame_number",
+                "min_lmk_number"):
+        if key in y:
+            kw[key] = int(y[key])
+    for key in ("min_movement_parallax", "max_movement_parallax", "ZNCC_tsh",
+                "max_length_tsh"):
+        if key in y:
+            kw[key.lower()] = float(y[key])
+    for key in ("marginalization", "sparsification", "mesh3d"):
+        if key in y:
+            kw[key] = bool(int(y[key]))
+    if feats:
+        kw["features"] = tuple(feats)
+    cfg = SLAMConfig(**kw)
+    caps = Capacities(K=cfg.max_kf_number + 1)
+    return dataclasses.replace(cfg, caps=caps)
+
+
+def load_dataset_config(path: str) -> DatasetConfig:
+    """Parse a dataset yaml (adataprovider.cpp:28-175 layout)."""
+    with open(path) as f:
+        y = yaml.safe_load(f)
+    cams = []
+    ncam = int(y.get("ncam", 0))
+    for i in range(ncam):
+        c = y.get(f"cam{i}", y.get("camera_%d" % i))
+        if c is None:
+            continue
+        T = np.asarray(c["T_BS"]["data"], np.float64).reshape(4, 4)
+        cams.append(CameraCalib(
+            model=str(c.get("camera_model", c.get("projection_model", "pinhole"))),
+            width=int(c["resolution"][0]), height=int(c["resolution"][1]),
+            intrinsics=tuple(float(v) for v in c["intrinsics"]),
+            distortion=tuple(float(v) for v in c.get("distortion_coefficients", [])),
+            T_f_s=tuple(T.reshape(-1).tolist()),
+        ))
+    imu = None
+    if "imu" in y or "imu0" in y:
+        iy = y.get("imu", y.get("imu0"))
+        T = np.asarray(iy["T_BS"]["data"], np.float64).reshape(4, 4) if "T_BS" in iy else np.eye(4)
+        imu = ImuCalib(
+            rate_hz=float(iy.get("rate_hz", 200.0)),
+            acc_noise=float(iy.get("accelerometer_noise_density", 2.0e-3)),
+            gyr_noise=float(iy.get("gyroscope_noise_density", 1.7e-4)),
+            acc_walk=float(iy.get("accelerometer_random_walk", 3.0e-3)),
+            gyr_walk=float(iy.get("gyroscope_random_walk", 2.0e-5)),
+            T_f_s=tuple(T.reshape(-1).tolist()),
+        )
+    return DatasetConfig(cameras=tuple(cams), imu=imu)

@@ -1,0 +1,465 @@
+"""SLAM pipeline orchestration: stereo VO / stereo VIO.
+
+TPU-native re-design of the reference pipeline cores
+(reference: cpp/src/slamCore.cpp -- detectFeatures:207, trackFeatures:339,
+epipolarFiltering:224, shouldInsertKeyframe:375, predict:432,
+outlierRemoval:42, initLandmarks:95; cpp/src/slamBiMono.cpp;
+cpp/src/slamBiMonoVIO.cpp -- init:6, frontEndStep:319, backEndStep:561).
+
+Architecture: all estimator state lives in fixed-shape device pytrees; the
+host loop only reads back a handful of scalars per frame (keyframe vote,
+health counters) and selects between a small set of pre-compiled stage
+kernels:
+
+  frontend_step : pyramids + KLT + PnP predict + epipolar gate + KF vote
+  insert_kf     : detect (occupancy-masked) + stereo KLT + triangulate
+                  + write observation row
+  backend_step  : windowed Schur-LM VI-BA (+ outlier removal)
+  marg_and_roll : marginalize slot 0 (sparsified prior) + window shift
+
+Feature identity: track slot == landmark slot (the reference's
+Feature<->Landmark weak_ptr pairing becomes index identity).
+The front-end/back-end thread split of the reference (slamCore.cpp:587-608)
+becomes JAX async dispatch: backend kernels are enqueued without blocking
+the frame loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sadvio_tpu.backend import ba, marginalization as marg
+from sadvio_tpu.data.window import ImuChain, Observations, PriorSet, Rig, WindowState
+from sadvio_tpu.frontend import detect, epipolar, klt, pnp, triangulate
+from sadvio_tpu.models import cameras, imu as imu_mod
+from sadvio_tpu.pipeline.config import SLAMConfig
+from sadvio_tpu.utils import geometry as geo
+
+
+@struct.dataclass
+class TrackState:
+    """Per-camera feature tracks; slot index == landmark slot index."""
+
+    uv: jnp.ndarray  # (C,L,2)
+    valid: jnp.ndarray  # (C,L)
+    uv_kf: jnp.ndarray  # (C,L,2) positions at the last keyframe
+    has3d: jnp.ndarray  # (L,) landmark triangulated
+
+
+def _cam0(rig: Rig):
+    return jax.tree.map(lambda x: x[0] if hasattr(x, "shape") and x.ndim > 0 else x, rig.cam)
+
+
+def _cam(rig: Rig, c: int):
+    return jax.tree.map(lambda x: x[c] if hasattr(x, "shape") and x.ndim > 0 else x, rig.cam)
+
+
+class StereoSLAM:
+    """Stereo VO ("bimono") / stereo VIO ("bimonovio") pipeline."""
+
+    def __init__(self, rig: Rig, config: SLAMConfig, imu_params=None, seed=0):
+        self.rig = rig
+        self.cfg = config
+        self.caps = config.caps
+        self.vio = config.slam_mode.endswith("vio")
+        self.imu_params = imu_params or imu_mod.ImuParams.euroc()
+        K, L, P = self.caps.K, self.caps.L, self.caps.P
+        self.window = WindowState.create(K, L)
+        self.obs = Observations.create(K, 2, L)
+        self.priors = PriorSet.create(K, P)
+        self.imu = ImuChain.create(K)
+        self.tracks = TrackState(
+            uv=jnp.zeros((2, L, 2)), valid=jnp.zeros((2, L), bool),
+            uv_kf=jnp.zeros((2, L, 2)), has3d=jnp.zeros((L,), bool),
+        )
+        self.pre_cur = imu_mod.Preintegration.identity()
+        # current-frame estimate
+        self.R_cur = jnp.eye(3)
+        self.t_cur = jnp.zeros(3)
+        self.v_cur = jnp.zeros(3)
+        self.dT = (jnp.eye(3), jnp.zeros(3))  # constant-velocity model
+        self.last_pyr = None
+        self.n_kf = 0
+        self.key = jax.random.PRNGKey(seed)
+        self.initialized = False
+        self.successive_fails = 0
+        self.traj = []  # (ts, R, t) at frame rate
+        self.kf_traj = []
+        self._ba_opts = ba.BAOptions(
+            iters=8, sigma_px=jnp.float32(1.0),
+            acc_walk=self.imu_params.acc_walk, gyr_walk=self.imu_params.gyr_walk,
+        )
+
+    # ------------------------------------------------------------------
+    # jitted stages (bound methods are cached by id(self) -- acceptable for
+    # a per-run pipeline object; stages take/return pytrees only)
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _pyramids(self, images):
+        return tuple(
+            tuple(klt.build_pyramid(images[c], self.caps.pyr_levels))
+            for c in range(2)
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _frontend(self, pyr_prev, pyr_new, tracks: TrackState, window, R_pred, t_pred, key):
+        """Track cam0, PnP-predict, epipolar-gate. Returns new tracks + pose."""
+        cam0 = _cam0(self.rig)
+        # KLT init: project landmarks with the predicted pose (predictFeature,
+        # slamCore.cpp:264); fall back to the previous position
+        uv_proj, vis = cameras.project_world(
+            cam0, R_pred, t_pred, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
+        )
+        init = jnp.where((tracks.has3d & vis)[:, None], uv_proj, tracks.uv[0])
+        uv1, ok, err = klt.track(
+            pyr_prev[0], pyr_new[0], tracks.uv[0], init, tracks.valid[0],
+            levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+        )
+
+        # PnP on tracks with triangulated landmarks
+        lmk_ok = ok & tracks.has3d & window.lmk_mask
+        R_new, t_new, inliers, pnp_ok, cov = pnp.pnp_ransac(
+            cam0, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk, uv1,
+            lmk_ok, R_pred, t_pred, key,
+        )
+        R_new = jnp.where(pnp_ok, R_new, R_pred)
+        t_new = jnp.where(pnp_ok, t_new, t_pred)
+        ok = ok & (~lmk_ok | inliers)
+
+        # epipolar gate vs last KF (slamCore.cpp:224-251): relative pose from
+        # the last KF (slot n_kf-1 handled by caller via uv_kf + kf pose)
+        tracks = tracks.replace(
+            uv=tracks.uv.at[0].set(uv1), valid=tracks.valid.at[0].set(ok)
+        )
+
+        # KF vote inputs: rotation-compensated parallax + live landmark count
+        k_last = jnp.sum(window.kf_mask) - 1
+        R_kf = window.R[jnp.maximum(k_last, 0)]
+        r0 = cameras.bearing_world(
+            cam0, R_kf, jnp.zeros(3), self.rig.R_f_s[0], self.rig.t_f_s[0],
+            tracks.uv_kf[0],
+        )
+        r1 = cameras.bearing_world(
+            cam0, R_new, jnp.zeros(3), self.rig.R_f_s[0], self.rig.t_f_s[0], uv1
+        )
+        cosang = jnp.clip(jnp.sum(r0 * r1, -1), -1.0, 1.0)
+        par = jnp.rad2deg(jnp.arccos(cosang))
+        n_trk = jnp.sum(ok)
+        parallax = jnp.sum(jnp.where(ok, par, 0.0)) / jnp.maximum(n_trk, 1)
+        n_lmk_trk = jnp.sum(ok & tracks.has3d & window.lmk_mask)
+        return tracks, R_new, t_new, pnp_ok, parallax, n_trk, n_lmk_trk
+
+    @partial(jax.jit, static_argnames=("self", "slot"))
+    def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
+                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot: int):
+        """Insert keyframe at static slot: detect, stereo-track, triangulate,
+        write observation rows (slamBiMonoVIO.cpp:481-538 semantics)."""
+        cam0 = _cam0(self.rig)
+        cam1 = _cam(self.rig, 1)
+        L = self.caps.L
+        img0 = pyr_new[0][0]
+
+        # 1. detect in free slots with occupancy mask
+        uv_det, s_det, v_det = detect.detect_features(
+            img0, existing_uv=tracks.uv[0], existing_valid=tracks.valid[0],
+            gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
+        )
+        free = ~(tracks.valid[0] | window.lmk_mask)  # (L,)
+        det_rank = jnp.cumsum(v_det) - 1
+        n_free = jnp.sum(free)
+        # assign detection d -> the (det_rank[d])-th free slot
+        free_slots = jnp.nonzero(free, size=L, fill_value=L - 1)[0]
+        take = v_det & (det_rank < n_free)
+        slot_of_det = jnp.where(take, free_slots[jnp.clip(det_rank, 0, L - 1)], L)
+        new_uv0 = tracks.uv[0].at[slot_of_det].set(uv_det, mode="drop")
+        new_v0 = tracks.valid[0].at[slot_of_det].set(True, mode="drop")
+
+        # 2. stereo track cam0 -> cam1 (trackFeatures cam0->cam1)
+        uv1, ok1, _ = klt.track(
+            pyr_new[0], pyr_new[1], new_uv0, new_uv0, new_v0,
+            levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+        )
+        # epipolar gate between the two cameras (static extrinsics)
+        R_01, t_01 = geo.pose_compose(
+            *geo.pose_inverse(self.rig.R_f_s[0], self.rig.t_f_s[0]),
+            self.rig.R_f_s[1], self.rig.t_f_s[1],
+        )
+        r0 = cam0.backproject(new_uv0)
+        r1 = cam1.backproject(uv1)
+        ok1 = epipolar.epipolar_filter(R_01, t_01, r0, r1, ok1)
+
+        # 3. triangulate slots without a landmark yet
+        R_w_s0, t_w_s0 = geo.pose_compose(R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0])
+        R_w_s1, t_w_s1 = geo.pose_compose(R_kf, t_kf, self.rig.R_f_s[1], self.rig.t_f_s[1])
+        rays_w = jnp.stack([
+            jnp.einsum("ij,nj->ni", R_w_s0, r0),
+            jnp.einsum("ij,nj->ni", R_w_s1, r1),
+        ])
+        origins = jnp.stack([t_w_s0, t_w_s1])
+        valid2 = jnp.stack([new_v0, ok1 & new_v0])
+        p_tri, tri_ok = triangulate.stereo_triangulate(origins, rays_w, valid2)
+        need3d = new_v0 & ~window.lmk_mask
+        add3d = need3d & tri_ok
+        lmk = jnp.where(add3d[:, None], p_tri, window.lmk)
+        lmk_mask = window.lmk_mask | add3d
+        new_v0 = new_v0 & (window.lmk_mask | add3d)  # drop untriangulated fresh
+        ok1 = ok1 & new_v0
+
+        # 4. write window slot
+        window = window.replace(
+            R=window.R.at[slot].set(R_kf), t=window.t.at[slot].set(t_kf),
+            v=window.v.at[slot].set(v_kf),
+            ba=window.ba.at[slot].set(window.ba[jnp.maximum(slot - 1, 0)]),
+            bg=window.bg.at[slot].set(window.bg[jnp.maximum(slot - 1, 0)]),
+            kf_mask=window.kf_mask.at[slot].set(True),
+            ts=window.ts.at[slot].set(ts),
+            lmk=lmk, lmk_mask=lmk_mask,
+        )
+        obs = obs.replace(
+            uv=obs.uv.at[slot, 0].set(new_uv0).at[slot, 1].set(uv1),
+            mask=obs.mask.at[slot, 0].set(new_v0).at[slot, 1].set(ok1),
+        )
+        if slot > 0:
+            imu_chain = imu_chain.replace(
+                pre=jax.tree.map(
+                    lambda a, b: a.at[slot - 1].set(b), imu_chain.pre, pre_cur
+                ),
+                mask=imu_chain.mask.at[slot - 1].set(pre_cur.dt > 1e-6),
+            )
+        tracks = TrackState(
+            uv=jnp.stack([new_uv0, uv1]),
+            valid=jnp.stack([new_v0, ok1]),
+            uv_kf=jnp.stack([new_uv0, uv1]),
+            has3d=lmk_mask,
+        )
+        return tracks, window, obs, imu_chain
+
+    @partial(jax.jit, static_argnames=("self", "fixed_n"))
+    def _backend(self, window, obs, imu_chain, priors, fixed_n: int):
+        """Window BA + outlier removal (backEndStep semantics)."""
+        fixed = jnp.arange(self.caps.K) < fixed_n
+        problem = ba.BAProblem(
+            window, obs, self.rig, imu_chain, priors, fixed, jnp.asarray(False)
+        )
+        new_window, stats = ba.ba_solve(problem, self._ba_opts)
+        # outlier removal (slamCore.cpp:42-83): mean reprojection error gate
+        r, _, _, m, _ = ba._reproj_terms(new_window, obs, self.rig, self._ba_opts)
+        rn = jnp.linalg.norm(r, axis=-1)
+        bad_obs = m.astype(bool) & (rn > 3.0)
+        obs = obs.replace(mask=obs.mask & ~bad_obs)
+        n_obs = jnp.sum(obs.mask, axis=(0, 1))
+        starved = new_window.lmk_mask & (n_obs < 2)
+        new_window = new_window.replace(lmk_mask=new_window.lmk_mask & ~starved)
+        return new_window, obs, stats
+
+    @partial(jax.jit, static_argnames=("self", "vio"))
+    def _marg_roll(self, window, obs, imu_chain, priors, tracks, vio: bool):
+        """Marginalize slot 0, shift window left (backEndStep marg branch)."""
+        if self.cfg.marginalization:
+            new_priors, info = marg.marginalize(
+                window, obs, self.rig, imu_chain, priors, self._ba_opts, vio=vio
+            )
+            marg_lmk = info["marg_lmk"]
+        else:
+            new_priors = PriorSet.create(self.caps.K, self.caps.P)
+            seen0 = jnp.any(obs.mask[0], axis=0)
+            elsewhere = jnp.any(obs.mask[1:], axis=(0, 1))
+            marg_lmk = window.lmk_mask & seen0 & ~elsewhere
+        new_priors = marg.shift_priors(new_priors)
+
+        roll = lambda x: jnp.roll(x, -1, axis=0)
+        window = window.replace(
+            R=roll(window.R), t=roll(window.t), v=roll(window.v),
+            ba=roll(window.ba), bg=roll(window.bg), ts=roll(window.ts),
+            kf_mask=roll(window.kf_mask).at[-1].set(False),
+            lmk_mask=window.lmk_mask & ~marg_lmk,
+        )
+        obs = obs.replace(
+            uv=roll(obs.uv),
+            mask=(roll(obs.mask) & ~marg_lmk[None, None, :]).at[-1].set(False),
+        )
+        imu_chain = imu_chain.replace(
+            pre=jax.tree.map(roll, imu_chain.pre),
+            mask=roll(imu_chain.mask).at[-1].set(False),
+        )
+        tracks = tracks.replace(
+            valid=tracks.valid & ~marg_lmk[None, :],
+            has3d=tracks.has3d & ~marg_lmk,
+        )
+        return window, obs, imu_chain, new_priors, tracks
+
+    # ------------------------------------------------------------------
+    # host-side frame loop
+    # ------------------------------------------------------------------
+
+    def _predict_pose(self, frame):
+        """Motion prediction: IMU if VIO (IMU.cpp estimateTransform), else
+        constant velocity (slamCore.cpp:432-466)."""
+        if self.vio and self.pre_cur.dt > 0:
+            k_last = self.n_kf - 1
+            R_i = self.window.R[k_last]
+            t_i = self.window.t[k_last]
+            v_i = self.window.v[k_last]
+            R_p, t_p, v_p = imu_mod.predict(
+                self.pre_cur, R_i, t_i, v_i,
+                ba=self.window.ba[k_last], bg=self.window.bg[k_last],
+            )
+            return R_p, t_p, v_p
+        dR, dt_ = self.dT
+        R_p, t_p = geo.pose_compose(self.R_cur, self.t_cur, dR, dt_)
+        return R_p, t_p, self.v_cur
+
+    def _accumulate_imu(self, frame):
+        if len(frame.dt) == 0:
+            return
+        self.pre_cur = imu_mod.preintegrate(
+            jnp.asarray(frame.acc), jnp.asarray(frame.gyr), jnp.asarray(frame.dt),
+            self.pre_cur.ba_lin, self.pre_cur.bg_lin, self.imu_params,
+            init=self.pre_cur,
+        )
+
+    def _gravity_align_init(self, frame):
+        """First-pose gravity alignment from averaged accelerometer samples
+        (slamBiMonoVIO.cpp:24-47 Rodrigues alignment)."""
+        if len(frame.acc) < 5:
+            return jnp.eye(3)
+        a = np.asarray(frame.acc).mean(0)
+        a = a / np.linalg.norm(a)
+        z = np.array([0.0, 0.0, 1.0])  # gravity up in world = -g direction
+        v = np.cross(a, z)
+        s = np.linalg.norm(v)
+        c = float(np.dot(a, z))
+        if s < 1e-8:
+            return jnp.eye(3)
+        w = v / s * np.arctan2(s, c)
+        # R_w_f maps body accel direction onto +z
+        return geo.so3_exp(jnp.asarray(w, jnp.float32)).T
+
+    def process_frame(self, frame) -> dict:
+        """One camera frame (+ the IMU batch since the previous frame)."""
+        if self.vio:
+            self._accumulate_imu(frame)
+        pyr_new = self._pyramids(jnp.asarray(frame.images))
+
+        out = {"ts": frame.ts, "is_kf": False, "ok": True}
+        if not self.initialized:
+            R0 = self._gravity_align_init(frame) if self.vio else jnp.eye(3)
+            self.R_cur = R0
+            self.tracks, self.window, self.obs, self.imu = self._insert_kf(
+                pyr_new, self.tracks, self.window, self.obs, self.imu,
+                self.pre_cur, R0, jnp.zeros(3), jnp.zeros(3),
+                jnp.float32(frame.ts), self._next_key(), 0,
+            )
+            self.n_kf = 1
+            self.pre_cur = imu_mod.Preintegration.identity()
+            self.last_pyr = pyr_new
+            self.initialized = True
+            self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
+            self.traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
+            out["is_kf"] = True
+            return out
+
+        R_pred, t_pred, v_pred = self._predict_pose(frame)
+        (self.tracks, R_new, t_new, pnp_ok, parallax, n_trk, n_lmk) = self._frontend(
+            self.last_pyr, pyr_new, self.tracks, self.window,
+            R_pred, t_pred, self._next_key(),
+        )
+        self.last_pyr = pyr_new
+        pnp_ok_h = bool(pnp_ok)
+        if not pnp_ok_h:
+            self.successive_fails += 1
+            R_new, t_new = R_pred, t_pred  # dead-reckon (slamBiMonoVIO.cpp:429-443)
+        else:
+            self.successive_fails = 0
+        # constant-velocity update
+        Ri, ti = geo.pose_inverse(self.R_cur, self.t_cur)
+        self.dT = geo.pose_compose(Ri, ti, R_new, t_new)
+        self.R_cur, self.t_cur, self.v_cur = R_new, t_new, v_pred
+        self.traj.append((frame.ts, np.asarray(R_new), np.asarray(t_new)))
+        out["pose"] = (np.asarray(R_new), np.asarray(t_new))
+        out["pnp_ok"] = pnp_ok_h
+        out["n_tracked"] = int(n_trk)
+        out["n_lmk_tracked"] = int(n_lmk)
+        out["parallax_deg"] = float(parallax)
+
+        # failure recovery (slamBiMonoVIO.cpp:545-553): checked at frame rate
+        if self.successive_fails > 5:
+            self.reset()
+            return out
+
+        # keyframe vote (shouldInsertKeyframe, slamCore.cpp:375-430)
+        parallax_h = float(parallax)
+        n_lmk_h = int(n_lmk)
+        force_kf = (not pnp_ok_h) or n_lmk_h < self.cfg.min_lmk_number
+        vote_kf = parallax_h > self.cfg.max_movement_parallax
+        is_kf = (force_kf or vote_kf) and parallax_h >= self.cfg.min_movement_parallax
+        if not is_kf:
+            return out
+
+        out["is_kf"] = True
+        K = self.caps.K
+        if self.n_kf >= K:
+            (self.window, self.obs, self.imu, self.priors, self.tracks) = self._marg_roll(
+                self.window, self.obs, self.imu, self.priors, self.tracks, self.vio
+            )
+            self.n_kf = K - 1
+        slot = self.n_kf
+        self.tracks, self.window, self.obs, self.imu = self._insert_kf(
+            pyr_new, self.tracks, self.window, self.obs, self.imu,
+            self.pre_cur, R_new, t_new, v_pred, jnp.float32(frame.ts),
+            self._next_key(), slot,
+        )
+        self.n_kf += 1
+        self.pre_cur = imu_mod.Preintegration.identity().replace(
+            ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
+        )
+
+        # back end (KF rate)
+        fixed_n = 1 if not self.cfg.marginalization or not jnp.any(self.priors.sp_mask) else 0
+        fixed_n = max(fixed_n, self.cfg.fixed_frame_number if self.n_kf > 1 else 1)
+        self.window, self.obs, stats = self._backend(
+            self.window, self.obs, self.imu, self.priors, fixed_n
+        )
+        # sync current pose/velocity to the optimized keyframe
+        self.R_cur = self.window.R[slot]
+        self.t_cur = self.window.t[slot]
+        self.v_cur = self.window.v[slot]
+        self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
+        self.kf_traj.append(
+            (frame.ts, np.asarray(self.R_cur), np.asarray(self.t_cur))
+        )
+        out["ba_cost"] = float(stats["cost"])
+        return out
+
+    def reset(self):
+        K, L, P = self.caps.K, self.caps.L, self.caps.P
+        self.window = WindowState.create(K, L)
+        self.obs = Observations.create(K, 2, L)
+        self.priors = PriorSet.create(K, P)
+        self.imu = ImuChain.create(K)
+        self.tracks = TrackState(
+            uv=jnp.zeros((2, L, 2)), valid=jnp.zeros((2, L), bool),
+            uv_kf=jnp.zeros((2, L, 2)), has3d=jnp.zeros((L,), bool),
+        )
+        self.pre_cur = imu_mod.Preintegration.identity()
+        self.n_kf = 0
+        self.initialized = False
+        self.successive_fails = 0
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def run(self, frames):
+        """Process a frame list; returns trajectory array (T,3)."""
+        for f in frames:
+            self.process_frame(f)
+        return np.asarray([t for _, _, t in self.traj])

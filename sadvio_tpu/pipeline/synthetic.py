@@ -1,0 +1,196 @@
+"""Synthetic EuRoC-like world: rendered stereo stream + IMU + ground truth.
+
+Serves as the end-to-end validation and benchmark harness in lieu of real
+EuRoC data (the reference validates by replaying EuRoC and scoring
+log_slam/results.csv -- cpp/src/slamCore.cpp:509-519; here the world's
+forward model is exact so ATE is measured against analytic ground truth,
+the same synthetic-world pattern as the reference test suite).
+
+The scene is a wall of Gaussian intensity blobs; images are rendered by
+splatting all blobs in one fused XLA kernel.  IMU samples are derived from
+the analytic trajectory by high-rate finite differences in float64.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sadvio_tpu.data.window import Rig
+from sadvio_tpu.models import cameras, imu as imu_mod
+from sadvio_tpu.utils import geometry as geo
+
+
+class FrameData(NamedTuple):
+    ts: float
+    images: np.ndarray  # (C,H,W) float32 in [0,255]
+    acc: np.ndarray  # (n,3) samples since previous frame
+    gyr: np.ndarray  # (n,3)
+    dt: np.ndarray  # (n,)
+
+
+class SyntheticWorld(NamedTuple):
+    rig: Rig
+    imu_params: imu_mod.ImuParams
+    frames: list  # [FrameData]
+    gt_R: np.ndarray  # (T,3,3) body pose world-from-frame
+    gt_t: np.ndarray  # (T,3)
+    gt_v: np.ndarray  # (T,3)
+    points: np.ndarray  # (N,3) scene points
+
+
+def make_rig(width=320, height=240, baseline=0.11, f=200.0):
+    C = 2
+    model = cameras.Pinhole(
+        fx=jnp.full((C,), f), fy=jnp.full((C,), f),
+        cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
+        width=width, height=height,
+    )
+    R_f_s = jnp.broadcast_to(jnp.eye(3), (C, 3, 3))
+    t_f_s = jnp.array([[0.0, 0.0, 0.0], [baseline, 0.0, 0.0]], jnp.float32)
+    return Rig(cam=model, R_f_s=R_f_s, t_f_s=t_f_s)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_view(cam_f, cam_c, R_w_f, t_w_f, R_f_s, t_f_s, pts, intens,
+                width: int, height: int, sigma: float = 1.4):
+    """Splat scene points into one camera image: (H,W) float32."""
+    R_s_f = R_f_s.T
+    p_f = (pts - t_w_f) @ R_w_f  # (N,3) body coords: R^T (p - t)
+    p_c = p_f @ R_f_s + (R_s_f @ (-t_f_s))  # sensor coords
+    z = p_c[:, 2]
+    u = cam_f * p_c[:, 0] / jnp.maximum(z, 0.1) + cam_c[0]
+    v = cam_f * p_c[:, 1] / jnp.maximum(z, 0.1) + cam_c[1]
+    vis = (z > 0.3) & (u > -5) & (u < width + 5) & (v > -5) & (v < height + 5)
+    w = jnp.where(vis, intens, 0.0)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    gx = jnp.exp(-0.5 * ((xs[None, :] - u[:, None]) / sigma) ** 2)  # (N,W)
+    gy = jnp.exp(-0.5 * ((ys[None, :] - v[:, None]) / sigma) ** 2)  # (N,H)
+    img = jnp.einsum("nh,nw->hw", gy * w[:, None], gx,
+                     precision=jax.lax.Precision.DEFAULT)
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def _trajectory(t):
+    """Analytic trajectory (f64): lateral sweep + gentle bob, looking at +z."""
+    p = np.stack([
+        0.8 * np.sin(0.5 * t),
+        0.4 * np.sin(0.3 * t + 0.7),
+        0.15 * np.sin(0.23 * t),
+    ], -1)
+    yaw = 0.12 * np.sin(0.4 * t)
+    pitch = 0.06 * np.sin(0.31 * t + 1.0)
+    return p, yaw, pitch
+
+
+def _rot(yaw, pitch):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    return Ry @ Rx
+
+
+def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
+               width=320, height=240, n_points=240,
+               noise_px=0.0, imu_noise=True) -> SyntheticWorld:
+    rng = np.random.default_rng(seed)
+    rig = make_rig(width, height)
+    params = imu_mod.ImuParams.euroc()
+    g = np.array([0.0, 0.0, -imu_mod.GRAVITY])
+
+    # scene: wall of blobs at z in [4, 9]
+    pts = np.stack([
+        rng.uniform(-5, 5, n_points),
+        rng.uniform(-3.5, 3.5, n_points),
+        rng.uniform(4.0, 9.0, n_points),
+    ], -1).astype(np.float32)
+    intens = rng.uniform(60, 220, n_points).astype(np.float32)
+
+    # dense f64 trajectory at IMU rate
+    n_sub = int(round(imu_rate / fps))
+    dt_imu = 1.0 / imu_rate
+    T = n_frames
+    t_dense = np.arange(T * n_sub + 1) * dt_imu
+    p_d, yaw_d, pitch_d = _trajectory(t_dense)
+    R_d = np.stack([_rot(y, pp) for y, pp in zip(yaw_d, pitch_d)])
+    v_d = np.gradient(p_d, dt_imu, axis=0)
+    a_d = np.gradient(v_d, dt_imu, axis=0)
+
+    # body rates from rotation finite differences
+    w_d = np.zeros((len(t_dense), 3))
+    for i in range(len(t_dense) - 1):
+        dR = R_d[i].T @ R_d[i + 1]
+        w_d[i] = np.asarray(geo.so3_log(jnp.asarray(dR, jnp.float64))) / dt_imu
+    w_d[-1] = w_d[-2]
+
+    frames = []
+    gt_R, gt_t, gt_v = [], [], []
+    cam = rig.cam
+    for k in range(T):
+        i0 = k * n_sub
+        R_k = R_d[i0]
+        t_k = p_d[i0]
+        gt_R.append(R_k)
+        gt_t.append(t_k)
+        gt_v.append(v_d[i0])
+        imgs = []
+        for c in range(2):
+            img = render_view(
+                float(cam.fx[c]), (float(cam.cx[c]), float(cam.cy[c])),
+                jnp.asarray(R_k, jnp.float32), jnp.asarray(t_k, jnp.float32),
+                rig.R_f_s[c], rig.t_f_s[c], jnp.asarray(pts), jnp.asarray(intens),
+                width, height,
+            )
+            imgs.append(np.asarray(img))
+        if noise_px > 0:
+            imgs = [im + rng.standard_normal(im.shape).astype(np.float32) * noise_px
+                    for im in imgs]
+        # IMU samples covering (k-1, k]
+        if k == 0:
+            acc = np.zeros((0, 3))
+            gyr = np.zeros((0, 3))
+            dts = np.zeros((0,))
+        else:
+            sl = slice((k - 1) * n_sub, k * n_sub)
+            acc = np.einsum("nij,nj->ni", R_d[sl].transpose(0, 2, 1), a_d[sl] - g)
+            gyr = w_d[sl].copy()
+            if imu_noise:
+                acc += rng.standard_normal(acc.shape) * params.acc_noise * np.sqrt(imu_rate)
+                gyr += rng.standard_normal(gyr.shape) * params.gyr_noise * np.sqrt(imu_rate)
+            dts = np.full((n_sub,), dt_imu)
+        frames.append(FrameData(
+            ts=k / fps,
+            images=np.stack(imgs).astype(np.float32),
+            acc=acc.astype(np.float32), gyr=gyr.astype(np.float32),
+            dt=dts.astype(np.float32),
+        ))
+    return SyntheticWorld(
+        rig=rig, imu_params=params, frames=frames,
+        gt_R=np.stack(gt_R).astype(np.float32),
+        gt_t=np.stack(gt_t).astype(np.float32),
+        gt_v=np.stack(gt_v).astype(np.float32),
+        points=pts,
+    )
+
+
+def ate_rmse(est_t, gt_t, align=True):
+    """Absolute trajectory error after optional SE3 (Umeyama, no scale) align."""
+    est = np.asarray(est_t, np.float64)
+    gt = np.asarray(gt_t, np.float64)
+    if align and len(est) >= 3:
+        mu_e = est.mean(0)
+        mu_g = gt.mean(0)
+        E = est - mu_e
+        G = gt - mu_g
+        U, S, Vt = np.linalg.svd(E.T @ G)
+        d = np.sign(np.linalg.det(U @ Vt))
+        Dm = np.diag([1.0, 1.0, d])
+        R = (U @ Dm @ Vt).T
+        est = (est - mu_e) @ R.T + mu_g
+    return float(np.sqrt(((est - gt) ** 2).sum(-1).mean()))

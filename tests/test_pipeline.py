@@ -1,0 +1,55 @@
+"""End-to-end pipeline tests on the synthetic world (small capacities).
+
+The de-facto integration test of the reference is an EuRoC replay scored on
+log_slam/results.csv; here the synthetic world provides exact ground truth
+(see sadvio_tpu/pipeline/synthetic.py).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sadvio_tpu.pipeline import synthetic
+from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
+from sadvio_tpu.pipeline.slam import StereoSLAM
+
+
+def small_config(mode):
+    return SLAMConfig(
+        slam_mode=mode,
+        max_kf_number=5,
+        min_lmk_number=25,
+        max_movement_parallax=1.0,
+        min_movement_parallax=0.02,
+        marginalization=True,
+        sparsification=True,
+        caps=Capacities(K=6, L=160, P=24, pyr_levels=3, klt_radius=5),
+    )
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic.make_world(seed=3, n_frames=40, width=320, height=240,
+                                n_points=200, imu_noise=True)
+
+
+def test_bimono_tracks_trajectory(world):
+    slam = StereoSLAM(world.rig, small_config("bimono"))
+    est = slam.run(world.frames)
+    assert len(est) == len(world.frames)
+    n_kf = len(slam.kf_traj)
+    assert n_kf >= 3, f"only {n_kf} keyframes"
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+
+
+def test_bimonovio_tracks_trajectory(world):
+    slam = StereoSLAM(world.rig, small_config("bimonovio"),
+                      imu_params=world.imu_params)
+    est = slam.run(world.frames)
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+    # gravity-aligned: z axis of first KF pose should be near world z
+    R0 = slam.kf_traj[0][1]
+    assert abs(R0[2, 2]) > 0.95
