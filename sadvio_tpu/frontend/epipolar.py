@@ -68,8 +68,13 @@ def _sampson(E, rays_a, rays_b):
 def decompose_essential(E, rays_a, rays_b, valid):
     """Pick (R, t) among the 4 decompositions by cheirality voting.
 
-    Returns T_ab = (R, t) with |t| = 1 mapping b-frame coords into a-frame:
-    the relative motion convention of EpipolarPoseEstimator (recoverPose).
+    The 8-point system here solves ``rb^T E ra = 0``; for the classic
+    decomposition convention (x2^T E x1 = 0 with x2 = R x1 + t) that makes
+    the decomposed pair the *b-from-a* transform: x_b = R_ba x_a + t_ba.
+    Cheirality is voted in that frame, then the result is inverted so the
+    return value is T_ab = (R, t) with |t| = 1 mapping b-frame coords into
+    a-frame -- the relative-motion convention of EpipolarPoseEstimator
+    (recoverPose, EpipolarPoseEstimator.cpp:66-130).
     """
     U, _, Vt = jnp.linalg.svd(E)
     d = jnp.linalg.det(U) * jnp.linalg.det(Vt)
@@ -79,20 +84,17 @@ def decompose_essential(E, rays_a, rays_b, valid):
     R2 = U @ W.T @ Vt
     t = U[:, 2]
 
-    def count_cheirality(R, tt):
-        # triangulate by midpoint in frame a: ray_a from origin, ray rb
-        # rotated: direction R rb from center -R? For T_ab: x_a = R x_b + t.
-        # Camera b center in a-frame: t; ray_b in a-frame: R rb.
-        o2 = tt
-        d2 = jnp.einsum("ij,nj->ni", R, rays_b)
-        # depth along ray_a and ray_b via 2-view midpoint
+    def count_cheirality(R_ba, t_ba):
+        # express everything in frame a: cam a at origin with rays ra; cam b
+        # center o2 = -R_ba^T t_ba, ray directions R_ba^T rb
+        o2 = -R_ba.T @ t_ba
+        d2 = jnp.einsum("ji,nj->ni", R_ba, rays_b)
         d1 = rays_a
-        b_ = o2
         m00 = jnp.sum(d1 * d1, -1)
         m01 = -jnp.sum(d1 * d2, -1)
         m11 = jnp.sum(d2 * d2, -1)
-        q0 = jnp.sum(d1 * b_, -1)
-        q1 = -jnp.sum(d2 * b_, -1)
+        q0 = jnp.sum(d1 * o2, -1)
+        q1 = -jnp.sum(d2 * o2, -1)
         det = m00 * m11 - m01 * m01
         z1 = (m11 * q0 - m01 * q1) / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         z2 = (m00 * q1 - m01 * q0) / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
@@ -103,7 +105,10 @@ def decompose_essential(E, rays_a, rays_b, valid):
     best = jnp.argmax(votes)
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
-    return Rs[best], ts[best], votes[best]
+    R_ba, t_ba = Rs[best], ts[best]
+    R_ab = R_ba.T
+    t_ab = -R_ba.T @ t_ba
+    return R_ab, t_ab, votes[best]
 
 
 @partial(jax.jit, static_argnames=("n_hyp",))

@@ -39,16 +39,22 @@ def _patch_coords(radius: int):
     return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # (S,2) in (u,v)
 
 
-def _track_level(img0, img1, uv0, uv1, radius: int, iters: int, min_eig: float):
-    """One pyramid level of IC-LK for all features. uv in this level's scale."""
+def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int, min_eig: float):
+    """One pyramid level of IC-LK for all features. uv in this level's scale.
+
+    ``warp`` (N,2,2) maps target-patch offsets to template-patch offsets
+    (SVO-style affine reference-patch warp).  It is dimensionless, so the
+    same matrix applies at every pyramid level.  Identity = classic LK.
+    """
     offs = _patch_coords(radius)  # (S,2)
 
-    def one(uv0_i, uv1_i):
-        pts = uv0_i[None] + offs  # (S,2)
+    def one(uv0_i, uv1_i, A_i):
+        pts = uv0_i[None] + offs @ A_i.T  # (S,2) template coords, warped
         T = bilinear_sample(img0, pts)
-        # template gradients (central differences via bilinear taps)
-        ex = jnp.array([0.5, 0.0])
-        ey = jnp.array([0.0, 0.5])
+        # template gradients wrt *target-space* offsets (chain rule through
+        # the warp, taken by central differences along warped axes)
+        ex = A_i @ jnp.array([0.5, 0.0])
+        ey = A_i @ jnp.array([0.0, 0.5])
         gx = bilinear_sample(img0, pts + ex) - bilinear_sample(img0, pts - ex)
         gy = bilinear_sample(img0, pts + ey) - bilinear_sample(img0, pts - ey)
         a = jnp.sum(gx * gx)
@@ -81,36 +87,54 @@ def _track_level(img0, img1, uv0, uv1, radius: int, iters: int, min_eig: float):
         err = jnp.mean(jnp.abs(I - T))
         return uv, good_grad & inb, err
 
-    return jax.vmap(one)(uv0, uv1)
+    return jax.vmap(one)(uv0, uv1, warp)
 
 
 @partial(jax.jit, static_argnames=("levels", "radius", "iters"))
 def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
           iters: int = 10, min_eig: float = 1e-3, fb_thresh: float = 0.5,
-          max_err: float = 20.0):
+          max_err: float = 20.0, warp=None):
     """Track features uv0 from pyramid pyr0 to pyr1 with initial guess uv_init.
 
     Returns (uv1, valid, err).  Forward-backward consistency < fb_thresh px
     (Point2DFeatureTracker.cpp:104-106).  pyr0/pyr1: tuples from
     build_pyramid (cached per sensor like the reference's _pyramids).
-    """
 
-    def run(pa, pb, uv_a, uv_b0):
+    ``warp`` (N,2,2), optional: per-feature affine template warp (maps
+    target-patch offsets to template-patch offsets).  Supply the
+    geometry-predicted warp when the camera moves toward/away from the
+    scene -- pure-translation LK otherwise picks up a radial scale bias
+    that masquerades as forward translation in the pose solve.
+    """
+    N = uv0.shape[0]
+    if warp is None:
+        warp = jnp.broadcast_to(jnp.eye(2), (N, 2, 2))
+    # inverse warp for the backward pass; guard singular warps
+    det = warp[:, 0, 0] * warp[:, 1, 1] - warp[:, 0, 1] * warp[:, 1, 0]
+    good_w = (det > 0.25) & (det < 4.0) & jnp.all(jnp.isfinite(warp), (1, 2))
+    eye = jnp.broadcast_to(jnp.eye(2), (N, 2, 2))
+    warp = jnp.where(good_w[:, None, None], warp, eye)
+    inv = jnp.stack([
+        jnp.stack([warp[:, 1, 1], -warp[:, 0, 1]], -1),
+        jnp.stack([-warp[:, 1, 0], warp[:, 0, 0]], -1),
+    ], -2) / jnp.where(good_w, det, 1.0)[:, None, None]
+
+    def run(pa, pb, uv_a, uv_b0, A):
         uv = uv_b0 / (2 ** (levels - 1))
         ok = jnp.ones(uv_a.shape[0], bool)
         err = jnp.zeros(uv_a.shape[0], jnp.float32)
         for lvl in range(levels - 1, -1, -1):
             s = 2.0 ** lvl
             uv, ok_l, err = _track_level(
-                pa[lvl], pb[lvl], uv_a / s, uv, radius, iters, min_eig
+                pa[lvl], pb[lvl], uv_a / s, uv, A, radius, iters, min_eig
             )
             ok = ok & ok_l
             if lvl > 0:
                 uv = uv * 2.0
         return uv, ok, err
 
-    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init)
-    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0)
+    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init, warp)
+    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0, inv)
     fb = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     valid = valid0 & ok_f & ok_b & (fb < fb_thresh) & (err < max_err)
     return uv1, valid, err

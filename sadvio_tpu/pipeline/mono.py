@@ -1,0 +1,283 @@
+"""Monocular VO / VIO pipeline modes.
+
+TPU-native re-design of the reference mono modes
+(reference: cpp/src/slamMono.cpp -- essential-matrix init with arbitrary
+0.1 m scale, parallax-gated:28-86; cpp/src/slamMonoVIO.cpp -- same but scale
+recovered by VIInit(optim_scale=true)).
+
+Shares the batched frontend/backend kernels of StereoSLAM; what changes:
+* bootstrap: two-view essential RANSAC between KF0 and the first frame with
+  enough parallax, translation normalized to 0.1 m (slamMono.cpp:60-78),
+  landmarks from two-view midpoint triangulation;
+* keyframe insertion: no stereo pair -- fresh detections stay 2D until a
+  later keyframe provides baseline, then they are triangulated from their
+  window observations (ALandmarkInitializer::initFromFeatures semantics,
+  alandmarkinitializer.cpp:56-129);
+* monovio: after `vio_init_kfs` keyframes, VIInit solves gravity/velocity/
+  bias/scale and rescales the map (slamMonoVIO.cpp + AOptimizer VIInit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sadvio_tpu.backend import viinit
+from sadvio_tpu.data.window import ImuChain, Observations, PriorSet
+from sadvio_tpu.frontend import detect, epipolar, klt, triangulate
+from sadvio_tpu.models import cameras, imu as imu_mod
+from sadvio_tpu.pipeline.slam import StereoSLAM, TrackState, _cam0
+from sadvio_tpu.utils import geometry as geo
+
+BOOTSTRAP_SCALE = 0.1  # slamMono.cpp arbitrary metric scale
+
+
+class MonoSLAM(StereoSLAM):
+    """Monocular VO ("mono") / monocular VIO ("monovio")."""
+
+    def __init__(self, rig, config, imu_params=None, seed=0,
+                 boot_parallax_deg: float = 1.0, vio_init_kfs: int = 6):
+        super().__init__(rig, config, imu_params=imu_params, seed=seed)
+        self.boot_parallax_deg = boot_parallax_deg
+        self.vio_init_kfs = vio_init_kfs
+        self.vi_initialized = not self.vio
+        self._boot = None  # (pyr0, tracks uv at KF0)
+
+    # ------------------------------------------------------------------
+    # bootstrap: detect at frame0, track until parallax, essential init
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _boot_detect(self, pyr):
+        L = self.caps.L
+        uv, s, v = detect.detect_features(
+            pyr[0][0],
+            existing_uv=jnp.zeros((L, 2)), existing_valid=jnp.zeros((L,), bool),
+            gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
+        )
+        n = min(uv.shape[0], L)
+        uv0 = jnp.zeros((L, 2)).at[:n].set(uv[:n])
+        v0 = jnp.zeros((L,), bool).at[:n].set(v[:n])
+        return uv0, v0
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _boot_track(self, pyr0, pyr_new, uv0, uv_prev, valid, key):
+        cam0 = _cam0(self.rig)
+        uv1, ok, _ = klt.track(
+            pyr0[0], pyr_new[0], uv0, uv_prev, valid,
+            levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+        )
+        r0 = cam0.backproject(uv0)
+        r1 = cam0.backproject(uv1)
+        cr = jnp.cross(r0, r1)
+        par = jnp.rad2deg(jnp.arctan2(
+            jnp.linalg.norm(cr, axis=-1), jnp.sum(r0 * r1, -1)
+        ))
+        n = jnp.maximum(jnp.sum(ok), 1)
+        parallax = jnp.sum(jnp.where(ok, par, 0.0)) / n
+        # essential solve (only consumed when parallax passes)
+        R_ab, t_ab, inl, ess_ok = epipolar.essential_ransac(r0, r1, ok, key)
+        return uv1, ok, parallax, R_ab, t_ab, inl, ess_ok
+
+    def _try_bootstrap(self, frame, pyr_new):
+        if self._boot is None:
+            uv0, v0 = self._boot_detect(pyr_new)
+            self._boot = {
+                "pyr0": pyr_new, "uv0": uv0, "uv": uv0, "valid": v0,
+                "ts0": frame.ts,
+            }
+            return False
+        b = self._boot
+        uv1, ok, parallax, R_ab, t_ab, inl, ess_ok = self._boot_track(
+            b["pyr0"], pyr_new, b["uv0"], b["uv"], b["valid"], self._next_key()
+        )
+        b["uv"], b["valid"] = uv1, ok
+        if float(parallax) < self.boot_parallax_deg or not bool(ess_ok):
+            return False
+
+        # T_ab: pose of current camera in KF0 camera frame, |t| = 1.
+        # world := KF0 body frame; fix scale at BOOTSTRAP_SCALE.
+        cam0 = _cam0(self.rig)
+        R_ws0, t_ws0 = geo.pose_compose(
+            jnp.eye(3), jnp.zeros(3), self.rig.R_f_s[0], self.rig.t_f_s[0]
+        )
+        t_ab = t_ab * BOOTSTRAP_SCALE
+        R_ws1, t_ws1 = geo.pose_compose(R_ws0, t_ws0, R_ab, t_ab)
+        # body pose of frame 1: T_w_f1 = T_w_s1 * T_f_s^-1
+        Rs_inv, ts_inv = geo.pose_inverse(self.rig.R_f_s[0], self.rig.t_f_s[0])
+        R1, t1 = geo.pose_compose(R_ws1, t_ws1, Rs_inv, ts_inv)
+
+        # two-view triangulation of surviving tracks
+        rays0_c = cam0.backproject(b["uv0"])
+        rays1_c = cam0.backproject(uv1)
+        rays_w = jnp.stack([
+            jnp.einsum("ij,nj->ni", R_ws0, rays0_c),
+            jnp.einsum("ij,nj->ni", R_ws1, rays1_c),
+        ])
+        origins = jnp.stack([t_ws0, t_ws1])
+        val2 = jnp.stack([inl, inl])
+        p_tri, tri_ok = triangulate.stereo_triangulate(origins, rays_w, val2)
+        good = inl & tri_ok
+
+        K, L = self.caps.K, self.caps.L
+        self.window = self.window.replace(
+            R=self.window.R.at[0].set(jnp.eye(3)).at[1].set(R1),
+            t=self.window.t.at[0].set(jnp.zeros(3)).at[1].set(t1),
+            kf_mask=self.window.kf_mask.at[0].set(True).at[1].set(True),
+            ts=self.window.ts.at[0].set(jnp.float32(b["ts0"])).at[1].set(
+                jnp.float32(frame.ts)
+            ),
+            lmk=jnp.where(good[:, None], p_tri, 0.0),
+            lmk_mask=good,
+        )
+        self.obs = self.obs.replace(
+            uv=self.obs.uv.at[0, 0].set(b["uv0"]).at[1, 0].set(uv1),
+            mask=self.obs.mask.at[0, 0].set(good).at[1, 0].set(good),
+        )
+        if self.vio:
+            self.imu = self.imu.replace(
+                pre=jax.tree.map(
+                    lambda a, x: a.at[0].set(x), self.imu.pre, self.pre_cur
+                ),
+                mask=self.imu.mask.at[0].set(self.pre_cur.dt > 1e-6),
+            )
+        self.tracks = TrackState(
+            uv=uv1[None], valid=good[None], uv_kf=uv1[None], has3d=good,
+        )
+        self.pre_cur = imu_mod.Preintegration.identity()
+        self.kf_pyr = pyr_new
+        self.n_kf = 2
+        self.R_cur, self.t_cur = R1, t1
+        self.initialized = True
+        self.kf_traj.append((b["ts0"], np.eye(3), np.zeros(3)))
+        self.kf_traj.append((frame.ts, np.asarray(R1), np.asarray(t1)))
+        self.traj.append((frame.ts, np.asarray(R1), np.asarray(t1)))
+        # window BA to polish the two-view map
+        self.window, self.obs, _ = self._backend(
+            self.window, self.obs, self.imu, self.priors, 1
+        )
+        self._boot = None
+        return True
+
+    # ------------------------------------------------------------------
+    # keyframe insertion: detect only; triangulate from window observations
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "slot"))
+    def _insert_kf(self, pyr_new, tracks, window, obs, imu_chain, pre_cur,
+                   R_kf, t_kf, v_kf, ts, key, slot: int):
+        cam0 = _cam0(self.rig)
+        L = self.caps.L
+        img0 = pyr_new[0][0]
+
+        uv_det, s_det, v_det = detect.detect_features(
+            img0, existing_uv=tracks.uv[0], existing_valid=tracks.valid[0],
+            gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
+        )
+        free = ~(tracks.valid[0] | window.lmk_mask)
+        det_rank = jnp.cumsum(v_det) - 1
+        n_free = jnp.sum(free)
+        free_slots = jnp.nonzero(free, size=L, fill_value=L - 1)[0]
+        take = v_det & (det_rank < n_free)
+        slot_of_det = jnp.where(take, free_slots[jnp.clip(det_rank, 0, L - 1)], L)
+        new_uv0 = tracks.uv[0].at[slot_of_det].set(uv_det, mode="drop")
+        new_v0 = tracks.valid[0].at[slot_of_det].set(True, mode="drop")
+
+        # write window slot + mono observation row
+        window = window.replace(
+            R=window.R.at[slot].set(R_kf), t=window.t.at[slot].set(t_kf),
+            v=window.v.at[slot].set(v_kf),
+            ba=window.ba.at[slot].set(window.ba[jnp.maximum(slot - 1, 0)]),
+            bg=window.bg.at[slot].set(window.bg[jnp.maximum(slot - 1, 0)]),
+            kf_mask=window.kf_mask.at[slot].set(True),
+            ts=window.ts.at[slot].set(ts),
+        )
+        obs = obs.replace(
+            uv=obs.uv.at[slot, 0].set(new_uv0),
+            mask=obs.mask.at[slot, 0].set(new_v0),
+        )
+        if slot > 0:
+            imu_chain = imu_chain.replace(
+                pre=jax.tree.map(
+                    lambda a, b: a.at[slot - 1].set(b), imu_chain.pre, pre_cur
+                ),
+                mask=imu_chain.mask.at[slot - 1].set(pre_cur.dt > 1e-6),
+            )
+
+        # triangulate slots with >=2 window observations and no landmark yet
+        # (initFromFeatures: use every observation in the window)
+        K = self.caps.K
+        R_ws = jnp.zeros((K, 3, 3))
+        t_ws = jnp.zeros((K, 3))
+        for k in range(K):
+            Rk, tk = geo.pose_compose(
+                window.R[k], window.t[k], self.rig.R_f_s[0], self.rig.t_f_s[0]
+            )
+            R_ws = R_ws.at[k].set(Rk)
+            t_ws = t_ws.at[k].set(tk)
+        rays_c = cam0.backproject(obs.uv[:, 0])  # (K,L,3)
+        rays_w = jnp.einsum("kij,klj->kli", R_ws, rays_c)
+        origins = jnp.broadcast_to(t_ws[:, None, :], rays_w.shape)
+        m_obs = obs.mask[:, 0] & window.kf_mask[:, None]
+        p_tri, tri_ok = triangulate.midpoint_triangulate(
+            jnp.moveaxis(origins, 0, -2), jnp.moveaxis(rays_w, 0, -2),
+            jnp.moveaxis(m_obs, 0, -1),
+        )
+        need3d = ~window.lmk_mask & (jnp.sum(m_obs, axis=0) >= 2)
+        add3d = need3d & tri_ok
+        window = window.replace(
+            lmk=jnp.where(add3d[:, None], p_tri, window.lmk),
+            lmk_mask=window.lmk_mask | add3d,
+        )
+
+        tracks = TrackState(
+            uv=new_uv0[None], valid=new_v0[None], uv_kf=new_uv0[None],
+            has3d=window.lmk_mask,
+        )
+        return tracks, window, obs, imu_chain
+
+    # ------------------------------------------------------------------
+    # frame loop: mono bootstrap + optional VIInit
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame) -> dict:
+        if self.vio:
+            self._accumulate_imu(frame)
+        out = {"ts": frame.ts, "is_kf": False, "ok": True}
+        if not self.initialized:
+            pyr_new = self._pyramids(jnp.asarray(frame.images))
+            out["is_kf"] = self._try_bootstrap(frame, pyr_new)
+            self.traj.append((frame.ts, np.asarray(self.R_cur), np.asarray(self.t_cur)))
+            return out
+        out = super().process_frame(frame)
+        if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
+            self._run_vi_init()
+        return out
+
+    def _run_vi_init(self):
+        res = viinit.vi_init(
+            self.window.R, self.window.t, self.window.kf_mask, self.imu,
+            optimize_scale=True, iters=20,
+        )
+        if not bool(res["converged"]):
+            return
+        self.window = viinit.apply_alignment(
+            self.window, res["R_align"], res["scale"]
+        )
+        self.window = self.window.replace(
+            v=res["v"],
+            ba=jnp.broadcast_to(res["ba"], (self.caps.K, 3)),
+            bg=jnp.broadcast_to(res["bg"], (self.caps.K, 3)),
+        )
+        R_align = res["R_align"]
+        s = res["scale"]
+        self.R_cur = R_align @ self.R_cur
+        self.t_cur = s * (R_align @ self.t_cur)
+        self.vi_initialized = True
+        # full VI window BA at the metric state
+        self.window, self.obs, _ = self._backend(
+            self.window, self.obs, self.imu, self.priors, 1
+        )

@@ -85,7 +85,7 @@ class StereoSLAM:
         self.t_cur = jnp.zeros(3)
         self.v_cur = jnp.zeros(3)
         self.dT = (jnp.eye(3), jnp.zeros(3))  # constant-velocity model
-        self.last_pyr = None
+        self.kf_pyr = None  # pyramid of the last keyframe (tracking template)
         self.n_kf = 0
         self.key = jax.random.PRNGKey(seed)
         self.initialized = False
@@ -110,18 +110,46 @@ class StereoSLAM:
         )
 
     @partial(jax.jit, static_argnames=("self",))
-    def _frontend(self, pyr_prev, pyr_new, tracks: TrackState, window, R_pred, t_pred, key):
-        """Track cam0, PnP-predict, epipolar-gate. Returns new tracks + pose."""
+    def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred, t_pred, key):
+        """Track cam0 from the last-KF template, PnP-predict, epipolar-gate.
+
+        Tracking is always keyframe->current (slamCore.cpp:339 trackFeatures
+        lastKF.cam0 -> frame.cam0): per-frame KLT drift does not compound.
+        """
         cam0 = _cam0(self.rig)
         # KLT init: project landmarks with the predicted pose (predictFeature,
-        # slamCore.cpp:264); fall back to the previous position
+        # slamCore.cpp:264); fall back to the last tracked position
         uv_proj, vis = cameras.project_world(
             cam0, R_pred, t_pred, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
         )
         init = jnp.where((tracks.has3d & vis)[:, None], uv_proj, tracks.uv[0])
+
+        # SVO-style affine template warp from the predicted geometry: without
+        # it, pure-translation LK under scale change (camera approaching the
+        # scene) has a radial bias field == spurious forward translation,
+        # which PnP then amplifies into exponential drift.
+        k_last = jnp.sum(window.kf_mask) - 1
+        R_kf = window.R[jnp.maximum(k_last, 0)]
+        t_kf = window.t[jnp.maximum(k_last, 0)]
+        p_c_cur = cameras.world_to_cam(
+            R_pred, t_pred, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
+        )
+        z_cur = p_c_cur[:, 2]
+        R_w_c = R_pred @ self.rig.R_f_s[0]
+        step = (z_cur / cam0.focal)[:, None]
+        proj_kf = lambda p: cameras.project_world(
+            cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], p
+        )[0]
+        uv_c0 = proj_kf(window.lmk)
+        col_u = proj_kf(window.lmk + R_w_c[:, 0][None] * step) - uv_c0
+        col_v = proj_kf(window.lmk + R_w_c[:, 1][None] * step) - uv_c0
+        A = jnp.stack([col_u, col_v], axis=-1)  # (L,2,2)
+        warp_ok = tracks.has3d & window.lmk_mask & vis & (z_cur > 0.1)
+        A = jnp.where(warp_ok[:, None, None], A, jnp.eye(2))
+
         uv1, ok, err = klt.track(
-            pyr_prev[0], pyr_new[0], tracks.uv[0], init, tracks.valid[0],
-            levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+            pyr_kf[0], pyr_new[0], tracks.uv_kf[0], init, tracks.valid[0],
+            levels=self.caps.pyr_levels, radius=self.caps.klt_radius, warp=A,
         )
 
         # PnP on tracks with triangulated landmarks
@@ -134,15 +162,17 @@ class StereoSLAM:
         t_new = jnp.where(pnp_ok, t_new, t_pred)
         ok = ok & (~lmk_ok | inliers)
 
-        # epipolar gate vs last KF (slamCore.cpp:224-251): relative pose from
-        # the last KF (slot n_kf-1 handled by caller via uv_kf + kf pose)
+        # epipolar gate vs last KF (slamCore.cpp:224-251, 0.5 deg angular)
+        R_ws_kf, t_ws_kf = geo.pose_compose(R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0])
+        R_ws_new, t_ws_new = geo.pose_compose(R_new, t_new, self.rig.R_f_s[0], self.rig.t_f_s[0])
+        R_ab, t_ab = geo.pose_compose(*geo.pose_inverse(R_ws_kf, t_ws_kf), R_ws_new, t_ws_new)
+        rays_kf_c = cam0.backproject(tracks.uv_kf[0])
+        rays_new_c = cam0.backproject(uv1)
+        ok = epipolar.epipolar_filter(R_ab, t_ab, rays_kf_c, rays_new_c, ok)
+
         tracks = tracks.replace(
             uv=tracks.uv.at[0].set(uv1), valid=tracks.valid.at[0].set(ok)
         )
-
-        # KF vote inputs: rotation-compensated parallax + live landmark count
-        k_last = jnp.sum(window.kf_mask) - 1
-        R_kf = window.R[jnp.maximum(k_last, 0)]
         r0 = cameras.bearing_world(
             cam0, R_kf, jnp.zeros(3), self.rig.R_f_s[0], self.rig.t_f_s[0],
             tracks.uv_kf[0],
@@ -150,8 +180,10 @@ class StereoSLAM:
         r1 = cameras.bearing_world(
             cam0, R_new, jnp.zeros(3), self.rig.R_f_s[0], self.rig.t_f_s[0], uv1
         )
-        cosang = jnp.clip(jnp.sum(r0 * r1, -1), -1.0, 1.0)
-        par = jnp.rad2deg(jnp.arccos(cosang))
+        # atan2 form: arccos(dot) near 1 rectifies f32 noise into a large
+        # positive bias; the cross-product form is exact for small angles
+        cr = jnp.cross(r0, r1)
+        par = jnp.rad2deg(jnp.arctan2(jnp.linalg.norm(cr, axis=-1), jnp.sum(r0 * r1, -1)))
         n_trk = jnp.sum(ok)
         parallax = jnp.sum(jnp.where(ok, par, 0.0)) / jnp.maximum(n_trk, 1)
         n_lmk_trk = jnp.sum(ok & tracks.has3d & window.lmk_mask)
@@ -360,7 +392,7 @@ class StereoSLAM:
             )
             self.n_kf = 1
             self.pre_cur = imu_mod.Preintegration.identity()
-            self.last_pyr = pyr_new
+            self.kf_pyr = pyr_new
             self.initialized = True
             self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
             self.traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
@@ -369,10 +401,9 @@ class StereoSLAM:
 
         R_pred, t_pred, v_pred = self._predict_pose(frame)
         (self.tracks, R_new, t_new, pnp_ok, parallax, n_trk, n_lmk) = self._frontend(
-            self.last_pyr, pyr_new, self.tracks, self.window,
+            self.kf_pyr, pyr_new, self.tracks, self.window,
             R_pred, t_pred, self._next_key(),
         )
-        self.last_pyr = pyr_new
         pnp_ok_h = bool(pnp_ok)
         if not pnp_ok_h:
             self.successive_fails += 1
@@ -418,6 +449,7 @@ class StereoSLAM:
             self._next_key(), slot,
         )
         self.n_kf += 1
+        self.kf_pyr = pyr_new
         self.pre_cur = imu_mod.Preintegration.identity().replace(
             ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
         )

@@ -57,22 +57,30 @@ def make_rig(width=320, height=240, baseline=0.11, f=200.0):
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def render_view(cam_f, cam_c, R_w_f, t_w_f, R_f_s, t_f_s, pts, intens,
-                width: int, height: int, sigma: float = 1.4):
-    """Splat scene points into one camera image: (H,W) float32."""
+                width: int, height: int):
+    """Splat scene points into one camera image: (H,W) float32.
+
+    Each point renders as a two-scale Gaussian (sharp core + soft halo):
+    the halo keeps signal alive at coarse pyramid levels so pyramidal KLT
+    has a wide convergence basin, like real multi-scale image texture.
+    """
     R_s_f = R_f_s.T
     p_f = (pts - t_w_f) @ R_w_f  # (N,3) body coords: R^T (p - t)
     p_c = p_f @ R_f_s + (R_s_f @ (-t_f_s))  # sensor coords
     z = p_c[:, 2]
     u = cam_f * p_c[:, 0] / jnp.maximum(z, 0.1) + cam_c[0]
     v = cam_f * p_c[:, 1] / jnp.maximum(z, 0.1) + cam_c[1]
-    vis = (z > 0.3) & (u > -5) & (u < width + 5) & (v > -5) & (v < height + 5)
+    vis = (z > 0.3) & (u > -12) & (u < width + 12) & (v > -12) & (v < height + 12)
     w = jnp.where(vis, intens, 0.0)
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
-    gx = jnp.exp(-0.5 * ((xs[None, :] - u[:, None]) / sigma) ** 2)  # (N,W)
-    gy = jnp.exp(-0.5 * ((ys[None, :] - v[:, None]) / sigma) ** 2)  # (N,H)
-    img = jnp.einsum("nh,nw->hw", gy * w[:, None], gx,
-                     precision=jax.lax.Precision.DEFAULT)
+    img = jnp.zeros((height, width), jnp.float32)
+    for sigma, amp in ((1.6, 1.0), (5.0, 0.55)):
+        gx = jnp.exp(-0.5 * ((xs[None, :] - u[:, None]) / sigma) ** 2)  # (N,W)
+        gy = jnp.exp(-0.5 * ((ys[None, :] - v[:, None]) / sigma) ** 2)  # (N,H)
+        img = img + amp * jnp.einsum(
+            "nh,nw->hw", gy * w[:, None], gx, precision=jax.lax.Precision.DEFAULT
+        )
     return jnp.clip(img, 0.0, 255.0)
 
 
@@ -104,13 +112,25 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     params = imu_mod.ImuParams.euroc()
     g = np.array([0.0, 0.0, -imu_mod.GRAVITY])
 
-    # scene: wall of blobs at z in [4, 9]
-    pts = np.stack([
-        rng.uniform(-5, 5, n_points),
-        rng.uniform(-3.5, 3.5, n_points),
-        rng.uniform(4.0, 9.0, n_points),
-    ], -1).astype(np.float32)
-    intens = rng.uniform(60, 220, n_points).astype(np.float32)
+    # scene: wall of blobs at z in [4, 9] on a jittered grid -- guaranteed
+    # angular separation so blob peaks don't merge (merged Gaussians shift
+    # their apparent peak with viewpoint, biasing KLT systematically)
+    gx = int(np.ceil(np.sqrt(n_points * 10.0 / 7.0)))
+    gy = int(np.ceil(n_points / gx))
+    xs = np.linspace(-5, 5, gx)
+    ys = np.linspace(-3.5, 3.5, gy)
+    gxx, gyy = np.meshgrid(xs, ys)
+    cell = np.array([xs[1] - xs[0], ys[1] - ys[0]])
+    pts2 = np.stack([gxx.reshape(-1), gyy.reshape(-1)], -1)[:n_points]
+    pts2 = pts2 + rng.uniform(-0.25, 0.25, pts2.shape) * cell
+    # smooth depth field: neighbouring blobs share depth, so camera motion
+    # cannot make their projections cross/merge
+    ii, jj = np.meshgrid(np.arange(gx), np.arange(gy))
+    zfield = 6.5 + 2.0 * np.sin(0.8 * ii) * np.cos(0.9 * jj)
+    z = zfield.reshape(-1)[:n_points] + rng.uniform(-0.2, 0.2, len(pts2))
+    pts = np.concatenate([pts2, z[:, None]], -1).astype(np.float32)
+    n_points = len(pts)
+    intens = rng.uniform(80, 220, n_points).astype(np.float32)
 
     # dense f64 trajectory at IMU rate
     n_sub = int(round(imu_rate / fps))

@@ -40,26 +40,32 @@ def skew(w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _sinc(x):
-    """sin(x)/x with Taylor fallback."""
-    safe = jnp.where(jnp.abs(x) < _EPS, 1.0, x)
-    return jnp.where(jnp.abs(x) < _EPS, 1.0 - x * x / 6.0, jnp.sin(safe) / safe)
+def _theta_split(theta2):
+    """(small, theta_safe): JVP-safe angle from squared angle.
+
+    ``sqrt`` has an infinite derivative at 0, and NaN tangents leak through
+    ``jnp.where`` branches under jacfwd/jacrev.  All trig coefficients must
+    therefore be evaluated on ``theta_safe`` (clamped operand, finite
+    derivative everywhere) and small-angle branches must be polynomials in
+    ``theta2`` (smooth), never in ``theta``.
+    """
+    small = theta2 < _EPS
+    theta_safe = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    return small, theta_safe
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation.
 
     Semantics of reference geometry.h exp_so3 (geometry.h:131-150), re-derived.
+    JVP-safe at w = 0 exactly (see _theta_split).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small, theta = _theta_split(theta2)
     W = skew(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos t)/t^2 with Taylor switches
-    a = _sinc(theta)[..., None, None]
-    safe_t2 = jnp.where(theta2 < _EPS, 1.0, theta2)
-    b_raw = (1.0 - jnp.cos(theta)) / safe_t2
-    b = jnp.where(theta2 < _EPS, 0.5 - theta2 / 24.0, b_raw)[..., None, None]
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)[..., None, None]
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
@@ -72,8 +78,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # vee of skew-symmetric part
+    # vee of skew-symmetric part: v = 2 sin(theta) * axis
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -82,14 +87,20 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-6
-    near_pi = theta > jnp.pi - 1e-3
-    # generic: theta / (2 sin theta) * v
-    safe_sin = jnp.where(small | near_pi, 1.0, sin_t)
-    generic = (theta / (2.0 * safe_sin))[..., None] * v
-    taylor = 0.5 * (1.0 + theta * theta / 6.0)[..., None] * v
-    # near pi: w = theta * axis, axis from largest diagonal of (R + I)/2
+    vn2 = jnp.sum(v * v, axis=-1)  # = 4 sin^2(theta)
+    # JVP-safe theta: atan2 on guarded operands (arccos'(+-1) is infinite,
+    # and NaN tangents would leak through both where-branches via theta)
+    small = vn2 < _EPS  # theta near 0 *or* near pi
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))
+    theta = jnp.arctan2(0.5 * vn, cos_t)
+    # generic: theta / (2 sin theta) * v = (theta / vn) * v
+    generic = (theta / vn)[..., None] * v
+    # theta ~ 0: polynomial in vn2 only (theta^2 ~ vn2/4)
+    taylor = 0.5 * (1.0 + vn2 / 24.0)[..., None] * v
+    near_pi = cos_t < -0.999995
+    # near pi: w = theta * axis, axis from largest diagonal of (R + I)/2;
+    # theta = pi - arcsin(|v|/2)
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(0.5 * jnp.sqrt(jnp.maximum(vn2, 1e-20)), 0.0, 1.0))
     B = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
     k = jnp.argmax(diag, axis=-1)
@@ -97,7 +108,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     axis = col / jnp.linalg.norm(col, axis=-1, keepdims=True).clip(_EPS)
     # fix sign using v (v = 2 sin(theta) axis >= 0 component alignment)
     sign = jnp.where(jnp.sum(axis * v, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
-    pi_branch = theta[..., None] * axis * sign
+    pi_branch = theta_pi[..., None] * axis * sign
     out = jnp.where(small[..., None], taylor, generic)
     return jnp.where(near_pi[..., None], pi_branch, out)
 
@@ -105,15 +116,15 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian J_l of SO(3) (geometry.h so3_leftJacobian semantics)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small, theta = _theta_split(theta2)
     W = skew(w)
     W2 = W @ W
-    safe_t2 = jnp.where(theta2 < _EPS, 1.0, theta2)
-    safe_t3 = safe_t2 * jnp.sqrt(safe_t2)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    safe_t3 = safe_t2 * theta
     a_raw = (1.0 - jnp.cos(theta)) / safe_t2
-    a = jnp.where(theta2 < _EPS, 0.5 - theta2 / 24.0, a_raw)[..., None, None]
+    a = jnp.where(small, 0.5 - theta2 / 24.0, a_raw)[..., None, None]
     b_raw = (theta - jnp.sin(theta)) / safe_t3
-    b = jnp.where(theta2 < _EPS, 1.0 / 6.0 - theta2 / 120.0, b_raw)[..., None, None]
+    b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, b_raw)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
@@ -125,15 +136,15 @@ def so3_right_jacobian(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small, theta = _theta_split(theta2)
     W = skew(w)
     W2 = W @ W
     half = 0.5 * theta
-    # coefficient c = 1/theta^2 - (1+cos)/ (2 theta sin)  -> classic closed form
-    safe_t2 = jnp.where(theta2 < _EPS, 1.0, theta2)
-    cot = jnp.where(theta < _EPS, 0.0, half / jnp.tan(jnp.where(theta < _EPS, 1.0, half)))
+    # coefficient c = (1 - (theta/2) cot(theta/2)) / theta^2  -> classic form
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    cot = half / jnp.tan(half)
     c_raw = (1.0 - cot) / safe_t2
-    c = jnp.where(theta2 < _EPS, 1.0 / 12.0 + theta2 / 720.0, c_raw)[..., None, None]
+    c = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, c_raw)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + c * W2
 
@@ -168,14 +179,32 @@ def pose_apply(R, t, p):
     return jnp.einsum("...ij,...j->...i", R, p) + t
 
 
+def so3_orthonormalize(R: jnp.ndarray) -> jnp.ndarray:
+    """One Newton step toward the orthogonal polar factor: R(3I - R^T R)/2.
+
+    Quadratic convergence: an f32 rounding defect of 1e-7 drops below f32
+    resolution.  MUST be applied wherever rotations re-enter persistent
+    state: a *symmetric* defect E in R scales projected geometry like a
+    depth bias, and feedback loops of the form R @ R^T (e.g. constant-
+    velocity prediction composed with a relative pose extracted from the
+    same R) amplify it by exactly 2x per pass -- empirically the drift
+    doubled per frame until the pose estimator diverged.
+    """
+    RtR = jnp.swapaxes(R, -1, -2) @ R
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    return R @ (1.5 * eye - 0.5 * RtR)
+
+
 def pose_retract(R, t, dx):
     """Decoupled right retraction: dx = [omega, nu] (body frame).
 
     T' = (R Exp(omega), t + R nu).  This is the optimizer update used by all
-    factors in sadvio_tpu.backend.factors.
+    factors in sadvio_tpu.backend.factors.  The result is re-orthonormalized
+    (see so3_orthonormalize) so iterated retraction cannot walk off SO(3).
     """
     omega, nu = dx[..., :3], dx[..., 3:6]
-    return R @ so3_exp(omega), t + jnp.einsum("...ij,...j->...i", R, nu)
+    Rn = so3_orthonormalize(R @ so3_exp(omega))
+    return Rn, t + jnp.einsum("...ij,...j->...i", R, nu)
 
 
 def pose_local(Ra, ta, Rb, tb):

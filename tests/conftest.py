@@ -1,23 +1,31 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere (hence top of conftest).
-Multi-chip sharding tests use this mesh; TPU hardware is exercised only by
-bench.py / the driver.
+IMPORTANT environment note: this machine's sitecustomize registers the
+axon TPU plugin at interpreter boot and *forces*
+``jax.config.jax_platforms = "axon,cpu"`` -- overriding the JAX_PLATFORMS
+env var.  Setting the env var (even in the shell) is NOT enough; the config
+must be updated back after import, before any backend initializes.  Without
+this, "CPU" tests silently remote-compile on the single tunneled TPU chip
+and concurrent test processes deadlock each other.
 """
 
 import os
 
-# force-override: the ambient environment pins JAX_PLATFORMS=axon (the
-# tunneled TPU) -- tests must run on local CPU with a virtual 8-device mesh
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets the same deterministic stream no matter
+    # which subset of tests runs (a session-scoped rng made failures appear
+    # and vanish with test selection)
     return np.random.default_rng(0)

@@ -17,6 +17,9 @@ def rand_w(rng, scale=1.0, n=()):
 
 def test_exp_log_roundtrip(rng):
     w = rand_w(rng, 1.0, (64,))
+    # log(exp(w)) == w only holds inside the injectivity radius ||w|| < pi
+    n = np.linalg.norm(np.asarray(w), axis=-1, keepdims=True)
+    w = jnp.asarray(np.asarray(w) * np.minimum(1.0, 3.0 / np.maximum(n, 1e-9)))
     R = geo.so3_exp(w)
     w2 = geo.so3_log(R)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=2e-5)
@@ -116,3 +119,32 @@ def test_jit_and_vmap(rng):
     w = rand_w(rng, 1.0, (16,))
     f = jax.jit(jax.vmap(geo.so3_exp))
     np.testing.assert_allclose(np.asarray(f(w)), np.asarray(geo.so3_exp(w)), atol=1e-6)
+
+
+def test_jvp_safe_at_zero():
+    """jacfwd/jacrev through exp/log/Jl at exactly-zero rotation must be
+    finite: sqrt' (0) is infinite and NaN tangents leak through where()
+    branches -- the classic JAX Lie-group pitfall (broke VIO BA: the IMU
+    factor differentiates so3_exp(J_dR_bg @ dbg) at dbg == 0 exactly)."""
+    z = jnp.zeros(3)
+    for fn in (geo.so3_exp, geo.so3_left_jacobian, geo.so3_right_jacobian,
+               geo.so3_left_jacobian_inv, geo.so3_right_jacobian_inv):
+        J = jax.jacfwd(fn)(z)
+        assert np.all(np.isfinite(np.asarray(J))), fn.__name__
+    J = jax.jacfwd(lambda w: geo.so3_log(geo.so3_exp(w)))(z)
+    assert np.all(np.isfinite(np.asarray(J)))
+    np.testing.assert_allclose(np.asarray(J), np.eye(3), atol=1e-5)
+    # d/dw log(R0 exp(w)) at w=0 must be finite for R0 == I (prior factors)
+    J2 = jax.jacfwd(lambda w: geo.pose_local(
+        jnp.eye(3), jnp.zeros(3), geo.so3_exp(w), jnp.zeros(3)))(z)
+    assert np.all(np.isfinite(np.asarray(J2)))
+
+
+def test_orthonormalize():
+    rng2 = np.random.default_rng(3)
+    w = jnp.asarray(rng2.standard_normal((16, 3)), jnp.float32)
+    R = geo.so3_exp(w)
+    E = jnp.asarray(rng2.standard_normal((16, 3, 3)) * 1e-4, jnp.float32)
+    Rn = geo.so3_orthonormalize(R + E)
+    err = np.asarray(jnp.swapaxes(Rn, -1, -2) @ Rn - jnp.eye(3))
+    assert np.abs(err).max() < 2e-6
