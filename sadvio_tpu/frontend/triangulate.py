@@ -45,15 +45,18 @@ def midpoint_triangulate(origins, dirs, mask, det_eps=1e-4,
     return p, ok
 
 
-def stereo_triangulate(rig_origins_w, rays_w, valid):
+def stereo_triangulate(rig_origins_w, rays_w, valid, det_eps=1e-4,
+                       max_depth=40.0):
     """Convenience wrapper: triangulate one landmark per feature slot from a
     multi-camera rig observation set.
 
     rig_origins_w: (C,3) camera centers in world; rays_w: (C,N,3) unit rays in
-    world; valid: (C,N).  Returns (p (N,3), ok (N,)).
+    world; valid: (C,N).  Returns (p (N,3), ok (N,)).  det(A) = 2 sin^2(angle)
+    for two rays, so det_eps is an effective minimum-parallax gate -- loosen
+    it for small-baseline two-view bootstrap triangulation.
     """
     origins = jnp.broadcast_to(rig_origins_w[:, None, :], rays_w.shape)
     return midpoint_triangulate(
         jnp.moveaxis(origins, 0, -2), jnp.moveaxis(rays_w, 0, -2),
-        jnp.moveaxis(valid, 0, -1),
+        jnp.moveaxis(valid, 0, -1), det_eps=det_eps, max_depth=max_depth,
     )

@@ -72,14 +72,19 @@ class MonoSLAM(StereoSLAM):
         )
         r0 = cam0.backproject(uv0)
         r1 = cam0.backproject(uv1)
-        cr = jnp.cross(r0, r1)
-        par = jnp.rad2deg(jnp.arctan2(
-            jnp.linalg.norm(cr, axis=-1), jnp.sum(r0 * r1, -1)
-        ))
-        n = jnp.maximum(jnp.sum(ok), 1)
-        parallax = jnp.sum(jnp.where(ok, par, 0.0)) / n
-        # essential solve (only consumed when parallax passes)
         R_ab, t_ab, inl, ess_ok = epipolar.essential_ransac(r0, r1, ok, key)
+        # parallax must be *rotation-compensated* (angle between r0 and
+        # R_ab r1): raw flow is dominated by rotation, which carries zero
+        # triangulation baseline -- gating on it bootstraps with useless
+        # near-parallel rays (det(A) = 2 sin^2(angle) ~ 0)
+        r1_w = jnp.einsum("ij,nj->ni", R_ab, r1)
+        cr = jnp.cross(r0, r1_w)
+        par = jnp.rad2deg(jnp.arctan2(
+            jnp.linalg.norm(cr, axis=-1), jnp.sum(r0 * r1_w, -1)
+        ))
+        n = jnp.maximum(jnp.sum(ok & inl), 1)
+        parallax = jnp.sum(jnp.where(ok & inl, par, 0.0)) / n
+        parallax = jnp.where(ess_ok, parallax, 0.0)
         return uv1, ok, parallax, R_ab, t_ab, inl, ess_ok
 
     def _try_bootstrap(self, frame, pyr_new):
@@ -119,7 +124,11 @@ class MonoSLAM(StereoSLAM):
         ])
         origins = jnp.stack([t_ws0, t_ws1])
         val2 = jnp.stack([inl, inl])
-        p_tri, tri_ok = triangulate.stereo_triangulate(origins, rays_w, val2)
+        # det_eps 1e-6 ~ 0.04 deg minimum ray angle: the bootstrap baseline
+        # is small by construction, the window BA refines depths right after
+        p_tri, tri_ok = triangulate.stereo_triangulate(
+            origins, rays_w, val2, det_eps=1e-6, max_depth=100.0
+        )
         good = inl & tri_ok
 
         K, L = self.caps.K, self.caps.L
@@ -154,7 +163,6 @@ class MonoSLAM(StereoSLAM):
         self.initialized = True
         self.kf_traj.append((b["ts0"], np.eye(3), np.zeros(3)))
         self.kf_traj.append((frame.ts, np.asarray(R1), np.asarray(t1)))
-        self.traj.append((frame.ts, np.asarray(R1), np.asarray(t1)))
         # window BA to polish the two-view map
         self.window, self.obs, _ = self._backend(
             self.window, self.obs, self.imu, self.priors, 1
@@ -224,7 +232,7 @@ class MonoSLAM(StereoSLAM):
         m_obs = obs.mask[:, 0] & window.kf_mask[:, None]
         p_tri, tri_ok = triangulate.midpoint_triangulate(
             jnp.moveaxis(origins, 0, -2), jnp.moveaxis(rays_w, 0, -2),
-            jnp.moveaxis(m_obs, 0, -1),
+            jnp.moveaxis(m_obs, 0, -1), det_eps=1e-5,
         )
         need3d = ~window.lmk_mask & (jnp.sum(m_obs, axis=0) >= 2)
         add3d = need3d & tri_ok

@@ -71,13 +71,15 @@ class StereoSLAM:
         self.vio = config.slam_mode.endswith("vio")
         self.imu_params = imu_params or imu_mod.ImuParams.euroc()
         K, L, P = self.caps.K, self.caps.L, self.caps.P
+        C = rig.C
+        self.C = C
         self.window = WindowState.create(K, L)
-        self.obs = Observations.create(K, 2, L)
+        self.obs = Observations.create(K, C, L)
         self.priors = PriorSet.create(K, P)
         self.imu = ImuChain.create(K)
         self.tracks = TrackState(
-            uv=jnp.zeros((2, L, 2)), valid=jnp.zeros((2, L), bool),
-            uv_kf=jnp.zeros((2, L, 2)), has3d=jnp.zeros((L,), bool),
+            uv=jnp.zeros((C, L, 2)), valid=jnp.zeros((C, L), bool),
+            uv_kf=jnp.zeros((C, L, 2)), has3d=jnp.zeros((L,), bool),
         )
         self.pre_cur = imu_mod.Preintegration.identity()
         # current-frame estimate
@@ -106,7 +108,7 @@ class StereoSLAM:
     def _pyramids(self, images):
         return tuple(
             tuple(klt.build_pyramid(images[c], self.caps.pyr_levels))
-            for c in range(2)
+            for c in range(self.C)
         )
 
     @partial(jax.jit, static_argnames=("self",))
@@ -160,7 +162,10 @@ class StereoSLAM:
         )
         R_new = jnp.where(pnp_ok, R_new, R_pred)
         t_new = jnp.where(pnp_ok, t_new, t_pred)
-        ok = ok & (~lmk_ok | inliers)
+        # apply the inlier gate only when the solve succeeded: on PnP failure
+        # the tracks must stay alive for dead reckoning + forced KF
+        # (slamBiMonoVIO.cpp:429-443), not be mass-invalidated
+        ok = ok & (~lmk_ok | inliers | ~pnp_ok)
 
         # epipolar gate vs last KF (slamCore.cpp:224-251, 0.5 deg angular)
         R_ws_kf, t_ws_kf = geo.pose_compose(R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0])
@@ -473,13 +478,15 @@ class StereoSLAM:
 
     def reset(self):
         K, L, P = self.caps.K, self.caps.L, self.caps.P
+        C = rig.C
+        self.C = C
         self.window = WindowState.create(K, L)
-        self.obs = Observations.create(K, 2, L)
+        self.obs = Observations.create(K, C, L)
         self.priors = PriorSet.create(K, P)
         self.imu = ImuChain.create(K)
         self.tracks = TrackState(
-            uv=jnp.zeros((2, L, 2)), valid=jnp.zeros((2, L), bool),
-            uv_kf=jnp.zeros((2, L, 2)), has3d=jnp.zeros((L,), bool),
+            uv=jnp.zeros((C, L, 2)), valid=jnp.zeros((C, L), bool),
+            uv_kf=jnp.zeros((C, L, 2)), has3d=jnp.zeros((L,), bool),
         )
         self.pre_cur = imu_mod.Preintegration.identity()
         self.n_kf = 0

@@ -199,8 +199,83 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     )
 
 
-def ate_rmse(est_t, gt_t, align=True):
-    """Absolute trajectory error after optional SE3 (Umeyama, no scale) align."""
+def make_nofov_rig(width=320, height=240, lever=0.4, f=200.0):
+    """Two cameras with opposite viewing directions (nofov mode): cam0
+    looks +z from the body origin, cam1 looks -z from an x-offset lever."""
+    C = 2
+    model = cameras.Pinhole(
+        fx=jnp.full((C,), f), fy=jnp.full((C,), f),
+        cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
+        width=width, height=height,
+    )
+    R1 = geo.so3_exp(jnp.asarray([0.0, np.pi, 0.0], jnp.float32))
+    R_f_s = jnp.stack([jnp.eye(3), R1])
+    t_f_s = jnp.asarray([[0.0, 0.0, 0.0], [lever, 0.0, 0.0]], jnp.float32)
+    return Rig(cam=model, R_f_s=R_f_s, t_f_s=t_f_s)
+
+
+def make_nofov_world(seed=0, n_frames=60, fps=20.0, width=320, height=240,
+                     n_points=240) -> SyntheticWorld:
+    """Two blob walls (front z~[4,9], back z~[-9,-4]) seen by a nofov rig."""
+    rng = np.random.default_rng(seed)
+    rig = make_nofov_rig(width, height)
+    params = imu_mod.ImuParams.euroc()
+
+    def wall(zlo, zhi, n):
+        gx = int(np.ceil(np.sqrt(n * 10.0 / 7.0)))
+        gy = int(np.ceil(n / gx))
+        xs = np.linspace(-5, 5, gx)
+        ys = np.linspace(-3.5, 3.5, gy)
+        gxx, gyy = np.meshgrid(xs, ys)
+        cell = np.array([xs[1] - xs[0], ys[1] - ys[0]])
+        p2 = np.stack([gxx.reshape(-1), gyy.reshape(-1)], -1)[:n]
+        p2 = p2 + rng.uniform(-0.25, 0.25, p2.shape) * cell
+        ii, jj = np.meshgrid(np.arange(gx), np.arange(gy))
+        zf = 0.5 * (zlo + zhi) + 0.3 * (zhi - zlo) * (
+            np.sin(0.8 * ii) * np.cos(0.9 * jj)
+        )
+        z = zf.reshape(-1)[:n] + rng.uniform(-0.2, 0.2, len(p2))
+        return np.concatenate([p2, z[:, None]], -1).astype(np.float32)
+
+    pts = np.concatenate([wall(4.0, 9.0, n_points), wall(-9.0, -4.0, n_points)])
+    intens = rng.uniform(80, 220, len(pts)).astype(np.float32)
+
+    T = n_frames
+    dt_f = 1.0 / fps
+    t_dense = np.arange(T) * dt_f
+    p_d, yaw_d, pitch_d = _trajectory(t_dense)
+    R_d = np.stack([_rot(y, pp) for y, pp in zip(yaw_d, pitch_d)])
+    v_d = np.gradient(p_d, dt_f, axis=0)
+
+    frames = []
+    cam = rig.cam
+    for k in range(T):
+        imgs = []
+        for c in range(2):
+            img = render_view(
+                float(cam.fx[c]), (float(cam.cx[c]), float(cam.cy[c])),
+                jnp.asarray(R_d[k], jnp.float32), jnp.asarray(p_d[k], jnp.float32),
+                rig.R_f_s[c], rig.t_f_s[c], jnp.asarray(pts), jnp.asarray(intens),
+                width, height,
+            )
+            imgs.append(np.asarray(img))
+        frames.append(FrameData(
+            ts=k * dt_f, images=np.stack(imgs).astype(np.float32),
+            acc=np.zeros((0, 3), np.float32), gyr=np.zeros((0, 3), np.float32),
+            dt=np.zeros((0,), np.float32),
+        ))
+    return SyntheticWorld(
+        rig=rig, imu_params=params, frames=frames,
+        gt_R=R_d.astype(np.float32), gt_t=p_d.astype(np.float32),
+        gt_v=v_d.astype(np.float32), points=pts,
+    )
+
+
+def ate_rmse(est_t, gt_t, align=True, with_scale=False):
+    """Absolute trajectory error after optional Umeyama alignment.
+
+    with_scale=True uses Sim3 alignment (monocular modes have gauge scale).
+    """
     est = np.asarray(est_t, np.float64)
     gt = np.asarray(gt_t, np.float64)
     if align and len(est) >= 3:
@@ -212,5 +287,10 @@ def ate_rmse(est_t, gt_t, align=True):
         d = np.sign(np.linalg.det(U @ Vt))
         Dm = np.diag([1.0, 1.0, d])
         R = (U @ Dm @ Vt).T
-        est = (est - mu_e) @ R.T + mu_g
+        s = 1.0
+        if with_scale:
+            # Umeyama: both the cross-covariance singular values and the
+            # source variance must carry the same normalization
+            s = (S * np.diag(Dm)).sum() / max((E ** 2).sum(), 1e-12)
+        est = s * (est - mu_e) @ R.T + mu_g
     return float(np.sqrt(((est - gt) ** 2).sum(-1).mean()))

@@ -53,3 +53,36 @@ def test_bimonovio_tracks_trajectory(world):
     # gravity-aligned: z axis of first KF pose should be near world z
     R0 = slam.kf_traj[0][1]
     assert abs(R0[2, 2]) > 0.95
+
+
+def test_mono_tracks_trajectory(world):
+    """Monocular VO: bootstrap by essential init, Sim3-aligned ATE."""
+    from sadvio_tpu.pipeline.mono import MonoSLAM
+    from sadvio_tpu.data.window import Rig
+    import jax
+
+    # mono rig: just cam0
+    rig1 = Rig(
+        cam=jax.tree.map(lambda x: x[:1] if hasattr(x, "ndim") and x.ndim > 0 else x,
+                         world.rig.cam),
+        R_f_s=world.rig.R_f_s[:1], t_f_s=world.rig.t_f_s[:1],
+    )
+    cfg = small_config("mono")
+    slam = MonoSLAM(rig1, cfg, boot_parallax_deg=2.0)
+
+    class MonoFrame:
+        def __init__(self, f):
+            self.ts = f.ts
+            self.images = f.images[:1]
+            self.acc, self.gyr, self.dt = f.acc, f.gyr, f.dt
+
+    i0 = None
+    for i, f in enumerate(world.frames):
+        slam.process_frame(MonoFrame(f))
+        if i0 is None and slam.initialized:
+            i0 = i
+    assert slam.initialized, "mono bootstrap never triggered"
+    # compare only the post-bootstrap segment (pre-init poses are identity)
+    est = np.asarray([t for _, _, t in slam.traj])[i0:]
+    ate = synthetic.ate_rmse(est, world.gt_t[i0: i0 + len(est)], with_scale=True)
+    assert ate < 0.08, f"mono ATE {ate:.4f} m"
