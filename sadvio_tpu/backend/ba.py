@@ -54,6 +54,10 @@ class BAOptions:
     jitter: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1e-5))
     acc_walk: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(3.0e-3))
     gyr_walk: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0e-5))
+    # angular (bearing-vector) reprojection error instead of pixel error:
+    # the AngularAdjustment optimizer variant for fisheye/omni rigs
+    # (AngularAdjustmentCERESAnalytic).  sigma is then sigma_px / focal.
+    angular: bool = struct.field(pytree_node=False, default=False)
 
 
 class BAProblem(NamedTuple):
@@ -107,9 +111,15 @@ def _reproj_terms(state: WindowState, obs: Observations, rig: Rig, opts: BAOptio
         Rb = state.R[:, None]
         tb = state.t[:, None]
         p = state.lmk[None, :]
-        r, Jp, Jl, valid = factors.reprojection_residual(
-            cam_c, Rb, tb, Rfs_c, tfs_c, p, uv_c, opts.sigma_px
-        )
+        if opts.angular:
+            ray = cam_c.backproject(uv_c)
+            r, Jp, Jl, valid = factors.angular_residual_jac(
+                Rb, tb, Rfs_c, tfs_c, p, ray, opts.sigma_px / cam_c.focal
+            )
+        else:
+            r, Jp, Jl, valid = factors.reprojection_residual(
+                cam_c, Rb, tb, Rfs_c, tfs_c, p, uv_c, opts.sigma_px
+            )
         m = (m_c & valid & state.lmk_mask[None, :] & state.kf_mask[:, None]).astype(r.dtype)
         rn = jnp.linalg.norm(r, axis=-1)
         w = m * factors.huber_weight(rn, opts.huber)

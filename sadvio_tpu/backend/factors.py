@@ -75,6 +75,52 @@ def angular_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w, ray_meas, sigma):
     return r, valid
 
 
+def _tangent_basis(ray):
+    """Orthonormal (...,2,3) basis of the plane orthogonal to unit ray."""
+    a = jnp.where(
+        jnp.abs(ray[..., 0:1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], ray.dtype), ray.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], ray.dtype), ray.shape),
+    )
+    b1 = jnp.cross(ray, a)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-12)
+    b2 = jnp.cross(ray, b1)
+    return jnp.stack([b1, b2], axis=-2)
+
+
+def angular_residual_jac(R_w_f, t_w_f, R_f_s, t_f_s, p_w, ray_meas, sigma):
+    """Whitened bearing residual + hand Jacobians (angular BA hot path).
+
+    Semantics of AngularAdjustmentCERESAnalytic.h:45-120: the difference
+    between the predicted unit bearing and the observed ray, projected onto
+    the observed ray's tangent basis.  Works for any camera model / FoV
+    (the measurement is the backprojected ray, model-independent here).
+    Returns r (...,2), J_pose (...,2,6), J_lmk (...,2,3), valid.
+    """
+    R_s_f, t_s_f = geo.pose_inverse(R_f_s, t_f_s)
+    p_f = jnp.einsum("...ji,...j->...i", R_w_f, p_w - t_w_f)
+    p_c = jnp.einsum("...ij,...j->...i", R_s_f, p_f) + t_s_f
+    n = jnp.linalg.norm(p_c, axis=-1, keepdims=True)
+    ns = jnp.maximum(n, 1e-9)
+    pred = p_c / ns
+    B = _tangent_basis(ray_meas)  # (...,2,3)
+    inv_s = 1.0 / sigma
+    r = jnp.einsum("...ab,...b->...a", B, ray_meas - pred) * inv_s
+    # d pred / d p_c = (I - pred pred^T) / |p_c|
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p_c.dtype), B.shape[:-2] + (3, 3))
+    P = (eye - pred[..., :, None] * pred[..., None, :]) / ns[..., None]
+    J_pc = jnp.einsum("...ab,...bc->...ac", B, P)  # (...,2,3)
+    J_pf = J_pc @ R_s_f
+    J_omega = J_pf @ geo.skew(p_f)
+    J_nu = -J_pf
+    J_h = jnp.concatenate([J_omega, J_nu], axis=-1)
+    Rt = jnp.swapaxes(R_w_f, -1, -2)
+    J_lmk_h = J_pf @ Rt
+    valid = n[..., 0] > 1e-6
+    # residual = (meas - h)/sigma  =>  J_r = -J_h / sigma
+    return r, -J_h * inv_s, -J_lmk_h * inv_s, valid
+
+
 def imu_factor_residual(pre, W, R_i, p_i, v_i, ba_i, bg_i, R_j, p_j, v_j, g=None):
     """Whitened 9-dof preintegration residual (residuals.hpp IMUFactor:133-245)."""
     r = imu_mod.residual(pre, R_i, p_i, v_i, ba_i, bg_i, R_j, p_j, v_j, g)

@@ -39,20 +39,19 @@ def _patch_coords(radius: int):
     return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # (S,2) in (u,v)
 
 
-def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int, min_eig: float):
-    """One pyramid level of IC-LK for all features. uv in this level's scale.
+def _templates(img0, uv0, warp, radius: int, min_eig: float):
+    """Per-feature warped template patch, gradients and 2x2 normal matrix.
 
-    ``warp`` (N,2,2) maps target-patch offsets to template-patch offsets
-    (SVO-style affine reference-patch warp).  It is dimensionless, so the
-    same matrix applies at every pyramid level.  Identity = classic LK.
+    Returns T/gx/gy (N,S,S), nrm (N,4)=[a,b,c,inv_det], good_grad (N,).
+    Runs once per frame (cheap); the per-iteration sampling is what the
+    Pallas path accelerates.
     """
-    offs = _patch_coords(radius)  # (S,2)
+    offs = _patch_coords(radius)  # (S^2,2)
+    S = 2 * radius + 1
 
-    def one(uv0_i, uv1_i, A_i):
-        pts = uv0_i[None] + offs @ A_i.T  # (S,2) template coords, warped
+    def one(uv0_i, A_i):
+        pts = uv0_i[None] + offs @ A_i.T
         T = bilinear_sample(img0, pts)
-        # template gradients wrt *target-space* offsets (chain rule through
-        # the warp, taken by central differences along warped axes)
         ex = A_i @ jnp.array([0.5, 0.0])
         ey = A_i @ jnp.array([0.0, 0.5])
         gx = bilinear_sample(img0, pts + ex) - bilinear_sample(img0, pts - ex)
@@ -63,37 +62,65 @@ def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int, min_eig: f
         det = a * c - b * b
         tr = a + c
         eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-        n = offs.shape[0]
-        good_grad = eig_min / n > min_eig
+        good_grad = eig_min / offs.shape[0] > min_eig
         inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
+        nrm = jnp.stack([a, b, c, inv_det])
+        return T.reshape(S, S), gx.reshape(S, S), gy.reshape(S, S), nrm, good_grad
 
-        def body(_, uv):
+    return jax.vmap(one)(uv0, warp)
+
+
+def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
+                 min_eig: float, use_pallas: bool = False):
+    """One pyramid level of IC-LK for all features. uv in this level's scale.
+
+    ``warp`` (N,2,2) maps target-patch offsets to template-patch offsets
+    (SVO-style affine reference-patch warp).  It is dimensionless, so the
+    same matrix applies at every pyramid level.  Identity = classic LK.
+    """
+    T, gx, gy, nrm, good_grad = _templates(img0, uv0, warp, radius, min_eig)
+    H, W = img1.shape
+    S = 2 * radius + 1
+
+    if use_pallas:
+        from sadvio_tpu.ops import klt_kernel
+
+        out = klt_kernel.lk_iterate(img1, uv1, T, gx, gy, nrm, iters=iters)
+        uv = out[:, :2]
+        err = out[:, 2]
+    else:
+        offs = _patch_coords(radius)
+
+        def one(uv1_i, T_i, gx_i, gy_i, nrm_i):
+            a, b, c, inv_det = nrm_i
+            Tf, gxf, gyf = T_i.reshape(-1), gx_i.reshape(-1), gy_i.reshape(-1)
+
+            def body(_, uv):
+                I = bilinear_sample(img1, uv[None] + offs)
+                e = I - Tf
+                bx = jnp.sum(e * gxf)
+                by = jnp.sum(e * gyf)
+                du = (c * bx - b * by) * inv_det
+                dv = (a * by - b * bx) * inv_det
+                return uv - jnp.stack([du, dv])
+
+            uv = jax.lax.fori_loop(0, iters, body, uv1_i)
             I = bilinear_sample(img1, uv[None] + offs)
-            e = I - T
-            bx = jnp.sum(e * gx)
-            by = jnp.sum(e * gy)
-            du = (c * bx - b * by) * inv_det
-            dv = (a * by - b * bx) * inv_det
-            return uv - jnp.stack([du, dv])
+            return uv, jnp.mean(jnp.abs(I - Tf))
 
-        uv = jax.lax.fori_loop(0, iters, body, uv1_i)
-        H, W = img1.shape
-        inb = (
-            (uv[0] >= radius) & (uv[0] < W - radius)
-            & (uv[1] >= radius) & (uv[1] < H - radius)
-        )
-        # final residual for quality gating
-        I = bilinear_sample(img1, uv[None] + offs)
-        err = jnp.mean(jnp.abs(I - T))
-        return uv, good_grad & inb, err
+        uv, err = jax.vmap(one)(uv1, T, gx, gy, nrm)
 
-    return jax.vmap(one)(uv0, uv1, warp)
+    inb = (
+        (uv[:, 0] >= radius) & (uv[:, 0] < W - radius)
+        & (uv[:, 1] >= radius) & (uv[:, 1] < H - radius)
+    )
+    return uv, good_grad & inb, err
 
 
-@partial(jax.jit, static_argnames=("levels", "radius", "iters"))
+@partial(jax.jit, static_argnames=("levels", "radius", "iters", "use_pallas"))
 def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
           iters: int = 10, min_eig: float = 1e-3, fb_thresh: float = 0.5,
-          max_err: float = 20.0, warp=None):
+          max_err: float = 20.0, warp=None, use_pallas: bool = False):
     """Track features uv0 from pyramid pyr0 to pyr1 with initial guess uv_init.
 
     Returns (uv1, valid, err).  Forward-backward consistency < fb_thresh px
@@ -125,8 +152,13 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
         err = jnp.zeros(uv_a.shape[0], jnp.float32)
         for lvl in range(levels - 1, -1, -1):
             s = 2.0 ** lvl
+            H_l, W_l = pb[lvl].shape
+            # the Pallas window kernel needs the level image to contain one
+            # full (WIN_Y, WIN_X) window; tiny coarse levels use the XLA path
+            pallas_l = use_pallas and H_l >= 32 and W_l >= 256
             uv, ok_l, err = _track_level(
-                pa[lvl], pb[lvl], uv_a / s, uv, A, radius, iters, min_eig
+                pa[lvl], pb[lvl], uv_a / s, uv, A, radius, iters, min_eig,
+                use_pallas=pallas_l,
             )
             ok = ok & ok_l
             if lvl > 0:

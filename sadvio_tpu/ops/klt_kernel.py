@@ -1,0 +1,152 @@
+"""Pallas TPU kernel for the inverse-compositional LK iteration loop.
+
+The KLT hot loop (SURVEY.md hot-loop #2; reference
+cpp/src/featurematchers/Point2DFeatureTracker.cpp:64-87) is gather-bound:
+every iteration samples an 11x11 patch per feature at a fractional position.
+XLA lowers the naive formulation to per-pixel gathers from HBM.  This kernel
+exploits two structural facts:
+
+* The target patch samples a *regular grid* at a shared fractional offset,
+  so one bilinear patch = 4 scalar-weighted shifted slices of a local
+  window -- no gather at all.
+* All iterations of one feature stay within a few pixels of the start, so a
+  single (WIN_Y, WIN_X) window DMA'd HBM->VMEM once per feature serves every
+  iteration (the reference's per-level cv::buildOpticalFlowPyramid cache
+  plays the same role on CPU).
+
+Grid = one program per feature; the window copy is a manual async DMA and
+the iteration loop runs entirely out of VMEM.
+
+Template patches/gradients are prepared once per frame by the caller (they
+involve the per-feature affine warp -- arbitrary fractional offsets, done
+with the XLA gather path where it is cheap because it runs once, not
+per-iteration).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN_Y = 32  # window rows (origin snapped to the 8-sublane tiling)
+WIN_X = 256  # window cols (origin snapped to the 128-lane tiling; 2 tiles
+#              so the patch never sits at a tile boundary)
+
+
+def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
+               win, sem, *, S: int, iters: int, height: int, width: int):
+    """One feature: DMA window, run `iters` IC-LK updates, write uv + err."""
+    u0 = uv_ref[0, 0, 0]
+    v0 = uv_ref[0, 0, 1]
+    # window origin: tile-aligned (DMA slices must start on the (8,128)
+    # tiling), positioned so the feature keeps >=64 lanes / 8 rows of margin
+    ox = jnp.clip(
+        ((jnp.floor(u0).astype(jnp.int32) - 64) // 128) * 128,
+        0, (max(width - WIN_X, 0) // 128) * 128,
+    )
+    oy = jnp.clip(
+        ((jnp.floor(v0).astype(jnp.int32) - 16) // 8) * 8,
+        0, (max(height - WIN_Y, 0) // 8) * 8,
+    )
+    ox = pl.multiple_of(ox, 128)
+    oy = pl.multiple_of(oy, 8)
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(oy, WIN_Y), pl.ds(ox, WIN_X)], win, sem
+    )
+    dma.start()
+
+    T = T_ref[0]
+    gx = gx_ref[0]
+    gy = gy_ref[0]
+    a = nrm_ref[0, 0, 0]
+    b = nrm_ref[0, 0, 1]
+    c = nrm_ref[0, 0, 2]
+    inv_det = nrm_ref[0, 0, 3]
+    dma.wait()
+
+    half = (S - 1) // 2
+
+    def sample_patch(u, v):
+        """Bilinear (S,S) patch at window-local float position.
+
+        Mosaic cannot vector-load at dynamic lane offsets, so the window is
+        circularly rolled (dynamic shift is supported) to put the patch's
+        integer corner at the origin, then sliced statically; the four
+        bilinear taps are static +-1 shifts of that rolled window.
+        """
+        lx = u - ox.astype(u.dtype) - half
+        ly = v - oy.astype(v.dtype) - half
+        ix = jnp.floor(lx).astype(jnp.int32)
+        iy = jnp.floor(ly).astype(jnp.int32)
+        fx = lx - ix.astype(u.dtype)
+        fy = ly - iy.astype(u.dtype)
+        ix = jnp.clip(ix, 0, WIN_X - S - 1)
+        iy = jnp.clip(iy, 0, WIN_Y - S - 1)
+        w = pltpu.roll(pltpu.roll(win[:], -ix, 1), -iy, 0)
+        p00 = w[:S, :S]
+        p01 = w[:S, 1 : S + 1]
+        p10 = w[1 : S + 1, :S]
+        p11 = w[1 : S + 1, 1 : S + 1]
+        return (
+            p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+            + p10 * (1 - fx) * fy + p11 * fx * fy
+        )
+
+    def body(_, uv):
+        u, v = uv
+        e = sample_patch(u, v) - T
+        bx = jnp.sum(e * gx)
+        by = jnp.sum(e * gy)
+        du = (c * bx - b * by) * inv_det
+        dv = (a * by - b * bx) * inv_det
+        return (u - du, v - dv)
+
+    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+
+    # final residual for the quality gate
+    err = jnp.mean(jnp.abs(sample_patch(u, v) - T))
+    out_ref[0, 0, 0] = u
+    out_ref[0, 0, 1] = v
+    out_ref[0, 0, 2] = err
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
+               interpret: bool = False):
+    """Run the IC-LK iteration loop for all features on one pyramid level.
+
+    img1 (H,W); uv_init (N,2); T/gx/gy (N,S,S) template patch + gradients;
+    nrm (N,4) = [a, b, c, inv_det] of the 2x2 template normal matrix.
+    Returns (N,3): refined u, v, mean-abs residual.
+    """
+    N, S, _ = T.shape
+    H, W = img1.shape
+    kern = functools.partial(
+        _lk_kernel, S=S, iters=iters, height=H, width=W
+    )
+    # small per-feature vectors carry a singleton middle axis so their last
+    # two block dims exactly match the array dims (TPU block-mapping rule)
+    out = pl.pallas_call(
+        kern,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # full image, DMA'd manually
+        ],
+        out_specs=pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 1, 3), img1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_Y, WIN_X), img1.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(uv_init.reshape(N, 1, 2), T, gx, gy, nrm.reshape(N, 1, 4), img1)
+    return out.reshape(N, 3)

@@ -37,7 +37,7 @@ from flax import struct
 
 from sadvio_tpu.backend import ba, marginalization as marg
 from sadvio_tpu.data.window import ImuChain, Observations, PriorSet, Rig, WindowState
-from sadvio_tpu.frontend import detect, epipolar, klt, pnp, triangulate
+from sadvio_tpu.frontend import detect, epipolar, klt, match as match_mod, pnp, triangulate
 from sadvio_tpu.models import cameras, imu as imu_mod
 from sadvio_tpu.pipeline.config import SLAMConfig
 from sadvio_tpu.utils import geometry as geo
@@ -70,6 +70,9 @@ class StereoSLAM:
         self.caps = config.caps
         self.vio = config.slam_mode.endswith("vio")
         self.imu_params = imu_params or imu_mod.ImuParams.euroc()
+        # the Pallas LK kernel is ~1000x the XLA gather path on TPU; it
+        # requires a real TPU backend (mosaic) and level width >= 256
+        self.use_pallas = jax.devices()[0].platform == "tpu"
         K, L, P = self.caps.K, self.caps.L, self.caps.P
         C = rig.C
         self.C = C
@@ -149,10 +152,35 @@ class StereoSLAM:
         warp_ok = tracks.has3d & window.lmk_mask & vis & (z_cur > 0.1)
         A = jnp.where(warp_ok[:, None, None], A, jnp.eye(2))
 
-        uv1, ok, err = klt.track(
-            pyr_kf[0], pyr_new[0], tracks.uv_kf[0], init, tracks.valid[0],
-            levels=self.caps.pyr_levels, radius=self.caps.klt_radius, warp=A,
-        )
+        if self.cfg.tracker == "matcher":
+            # descriptor-matcher tracking (reference "tracker: matcher"
+            # config; afeaturematcher.cpp predicted-search-box semantics):
+            # detect candidates in the new frame, BRIEF-match the last-KF
+            # templates against them inside a box around the prediction
+            sm_new = detect.smooth3(pyr_new[0][0])
+            sm_kf = detect.smooth3(pyr_kf[0][0])
+            uv_c, s_c, v_c = detect.detect_features(
+                pyr_new[0][0],
+                existing_uv=jnp.zeros((self.caps.L, 2)),
+                existing_valid=jnp.zeros((self.caps.L,), bool),
+                gh=8, gw=10,
+                k_per_cell=max(2, self.cfg.features[0].n_per_cell),
+            )
+            desc_c = detect.brief_describe(sm_new, uv_c)
+            desc_t = detect.brief_describe(sm_kf, tracks.uv_kf[0])
+            idx, dist = match_mod.match(
+                desc_t, init, tracks.valid[0], desc_c, uv_c, v_c,
+                search_radius=30.0,
+            )
+            uv1 = jnp.where((idx >= 0)[:, None], uv_c[jnp.maximum(idx, 0)], init)
+            ok = tracks.valid[0] & (idx >= 0)
+            err = dist
+        else:
+            uv1, ok, err = klt.track(
+                pyr_kf[0], pyr_new[0], tracks.uv_kf[0], init, tracks.valid[0],
+                levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+                warp=A, use_pallas=self.use_pallas,
+            )
 
         # PnP on tracks with triangulated landmarks
         lmk_ok = ok & tracks.has3d & window.lmk_mask
@@ -223,6 +251,7 @@ class StereoSLAM:
         uv1, ok1, _ = klt.track(
             pyr_new[0], pyr_new[1], new_uv0, new_uv0, new_v0,
             levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+            use_pallas=self.use_pallas,
         )
         # epipolar gate between the two cameras (static extrinsics)
         R_01, t_01 = geo.pose_compose(
@@ -497,8 +526,43 @@ class StereoSLAM:
         self.key, k = jax.random.split(self.key)
         return k
 
-    def run(self, frames):
-        """Process a frame list; returns trajectory array (T,3)."""
+    def run(self, frames, log_dir=None, profile=False):
+        """Process a frame list; returns trajectory array (T,3).
+
+        log_dir: write results.csv (KF trajectory, slamCore.cpp:509-519
+        layout), vio_poses.csv (frame-rate state, slamBiMonoVIO.cpp:616-642)
+        and slam_profiler.txt (stage averages, slamCore.cpp:554-584).
+        """
+        prof = None
+        if profile or log_dir:
+            from sadvio_tpu.utils.profiler import Profiler
+
+            prof = Profiler()
+            self._prof = prof
+        import time as _time
+
         for f in frames:
-            self.process_frame(f)
+            if prof:
+                t0 = _time.perf_counter()
+            out = self.process_frame(f)
+            if prof:
+                jax.block_until_ready(self.t_cur)
+                dt = _time.perf_counter() - t0
+                prof.sums["frame_total"] += dt
+                prof.counts["frame_total"] += 1
+                name = "kf_step" if out.get("is_kf") else "track_step"
+                prof.sums[name] += dt
+                prof.counts[name] += 1
+        if log_dir:
+            import os
+
+            from sadvio_tpu.pipeline.euroc import write_results_csv, write_vio_csv
+
+            os.makedirs(log_dir, exist_ok=True)
+            write_results_csv(os.path.join(log_dir, "results.csv"), self.kf_traj)
+            rows = [
+                (ts, *np.asarray(t).tolist()) for ts, _, t in self.traj
+            ]
+            write_vio_csv(os.path.join(log_dir, "vio_poses.csv"), rows)
+            prof.dump(os.path.join(log_dir, "slam_profiler.txt"))
         return np.asarray([t for _, _, t in self.traj])

@@ -142,11 +142,12 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     v_d = np.gradient(p_d, dt_imu, axis=0)
     a_d = np.gradient(v_d, dt_imu, axis=0)
 
-    # body rates from rotation finite differences
+    # body rates from rotation finite differences (f64, vectorized)
+    from scipy.spatial.transform import Rotation
+
+    dRs = np.einsum("nij,nik->njk", R_d[:-1], R_d[1:])  # R_i^T R_{i+1}
     w_d = np.zeros((len(t_dense), 3))
-    for i in range(len(t_dense) - 1):
-        dR = R_d[i].T @ R_d[i + 1]
-        w_d[i] = np.asarray(geo.so3_log(jnp.asarray(dR, jnp.float64))) / dt_imu
+    w_d[:-1] = Rotation.from_matrix(dRs).as_rotvec() / dt_imu
     w_d[-1] = w_d[-2]
 
     frames = []

@@ -227,3 +227,46 @@ def test_ba_retained_landmark_priors(rng):
     assert float(stats["cost"]) < float(stats["cost0"])
     assert pose_err(sol, gt, gt.kf_mask) < 2e-3
     assert np.abs(np.asarray(sol.lmk - gt.lmk)).max() < 1e-2
+
+
+def test_angular_jacobian_fd(rng):
+    """Finite-difference check of the angular residual Jacobians."""
+    from sadvio_tpu.backend import factors
+
+    R = geo.so3_exp(jnp.asarray(rng.standard_normal(3) * 0.2, jnp.float32))
+    t = jnp.asarray(rng.standard_normal(3), jnp.float32)
+    Rfs = geo.so3_exp(jnp.asarray([0.01, -0.02, 0.015], jnp.float32))
+    tfs = jnp.asarray([0.1, 0.0, -0.05], jnp.float32)
+    p = jnp.asarray([0.4, -0.3, 5.0], jnp.float32)
+    ray = cameras.world_to_cam(R, t, Rfs, tfs, p + jnp.asarray([0.02, 0.01, -0.03]))
+    ray = ray / jnp.linalg.norm(ray)
+    sig = jnp.float32(1.0 / 200.0)
+
+    r0, Jp, Jl, valid = factors.angular_residual_jac(R, t, Rfs, tfs, p, ray, sig)
+    assert bool(valid)
+
+    eps = 1e-3
+    for i in range(6):
+        dx = jnp.zeros(6).at[i].set(eps)
+        Rp, tp = geo.pose_retract(R, t, dx)
+        rp, *_ = factors.angular_residual_jac(Rp, tp, Rfs, tfs, p, ray, sig)
+        Rm, tm = geo.pose_retract(R, t, -dx)
+        rm, *_ = factors.angular_residual_jac(Rm, tm, Rfs, tfs, p, ray, sig)
+        fd = np.asarray(rp - rm) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(Jp[:, i]), fd, atol=2e-2, rtol=2e-2)
+    for i in range(3):
+        dp = jnp.zeros(3).at[i].set(eps)
+        rp, *_ = factors.angular_residual_jac(R, t, Rfs, tfs, p + dp, ray, sig)
+        rm, *_ = factors.angular_residual_jac(R, t, Rfs, tfs, p - dp, ray, sig)
+        fd = np.asarray(rp - rm) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(Jl[:, i]), fd, atol=2e-2, rtol=2e-2)
+
+
+def test_ba_angular_mode(rng):
+    """Window BA converges with the bearing-vector error (fisheye path)."""
+    gt, obs, rig = make_world(rng)
+    noisy = perturb_state(rng, gt)
+    problem = ba.make_problem(noisy, obs, rig)
+    sol, stats = ba.ba_solve(problem, ba.BAOptions(iters=8, angular=True))
+    assert float(stats["cost"]) < float(stats["cost0"]) * 1e-3
+    assert pose_err(sol, gt, gt.kf_mask) < 2e-3

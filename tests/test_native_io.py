@@ -1,0 +1,80 @@
+"""Native C++ data loader round-trip: fake EuRoC dir -> synced FrameData.
+
+Checks CSV parse, stereo sync (2.5 ms / 20 ms gates), IMU batching, PNG and
+PGM decode, and agreement with the pure-Python EurocProvider.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sadvio_tpu.pipeline import euroc as pyio
+
+W, H, NF, IMU_HZ, FPS = 64, 48, 6, 200, 20
+
+
+@pytest.fixture(scope="module")
+def fake_euroc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("euroc") / "mav0"
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    imgs = []
+    for c in (0, 1):
+        d = root / f"cam{c}" / "data"
+        d.mkdir(parents=True)
+        rows = ["#ts,filename"]
+        for k in range(NF):
+            ts_ns = int((1.0 + k / FPS) * 1e9)
+            img = rng.integers(0, 255, (H, W), np.uint8)
+            name = f"{ts_ns}.png"
+            Image.fromarray(img, "L").save(d / name)
+            rows.append(f"{ts_ns},{name}")
+            if c == 0:
+                imgs.append(img)
+        (root / f"cam{c}" / "data.csv").write_text("\n".join(rows) + "\n")
+    di = root / "imu0"
+    di.mkdir(parents=True)
+    rows = ["#ts,wx,wy,wz,ax,ay,az"]
+    n_imu = int(NF / FPS * IMU_HZ) + IMU_HZ
+    for k in range(n_imu):
+        ts_ns = int((1.0 - 0.5 + k / IMU_HZ) * 1e9)
+        v = rng.standard_normal(6) * 0.01
+        v[5] = 9.81
+        rows.append(",".join([str(ts_ns)] + [f"{x:.6f}" for x in v]))
+    (di / "data.csv").write_text("\n".join(rows) + "\n")
+    return str(root.parent), imgs
+
+
+def test_python_provider(fake_euroc):
+    root, imgs = fake_euroc
+    p = pyio.EurocProvider(root)
+    frames = list(p.frames())
+    assert len(frames) == NF
+    assert frames[0].images.shape == (2, H, W)
+    np.testing.assert_allclose(frames[0].images[0], imgs[0].astype(np.float32))
+    # frames after the first must carry one inter-frame IMU batch each
+    for f in frames[1:]:
+        assert 8 <= len(f.dt) <= 12  # 200/20 = 10 per interval
+        np.testing.assert_allclose(f.dt.sum(), 1.0 / FPS, atol=1e-3)
+
+
+def test_native_matches_python(fake_euroc):
+    native = pytest.importorskip("sadvio_tpu.pipeline.native_io")
+    root, imgs = fake_euroc
+    try:
+        np_ = native.NativeEurocProvider(root)
+    except RuntimeError:
+        pytest.skip("native loader not built")
+    assert np_.n_frames == NF
+    py = pyio.EurocProvider(root)
+    for fn, fp in zip(np_.frames(), py.frames()):
+        assert abs(fn.ts - fp.ts) < 1e-9
+        np.testing.assert_allclose(fn.images, fp.images, atol=0.5)
+        assert len(fn.dt) == len(fp.dt)
+        if len(fn.dt):
+            np.testing.assert_allclose(fn.dt, fp.dt, atol=1e-6)
+            np.testing.assert_allclose(fn.acc, fp.acc, atol=1e-5)
+            np.testing.assert_allclose(fn.gyr, fp.gyr, atol=1e-5)
+    np_.close()

@@ -86,3 +86,17 @@ def test_mono_tracks_trajectory(world):
     est = np.asarray([t for _, _, t in slam.traj])[i0:]
     ate = synthetic.ate_rmse(est, world.gt_t[i0: i0 + len(est)], with_scale=True)
     assert ate < 0.08, f"mono ATE {ate:.4f} m"
+
+
+def test_bimono_matcher_tracking(world):
+    """Descriptor-matcher tracking mode (reference tracker: matcher)."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(small_config("bimono"), tracker="matcher")
+    slam = StereoSLAM(world.rig, cfg)
+    est = slam.run(world.frames[:25])
+    ate = synthetic.ate_rmse(est, world.gt_t[:len(est)])
+    # matcher tracking is integer-pixel (no subpixel refinement): accept a
+    # coarser bound than KLT but still a sane trajectory
+    assert ate < 0.15, f"matcher-mode ATE {ate:.4f} m"
+    assert len(slam.kf_traj) >= 2
