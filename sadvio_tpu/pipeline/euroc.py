@@ -137,6 +137,61 @@ def clahe(img, tiles: int = 8, clip: float = 2.0, bins: int = 64):
     return out
 
 
+@partial(jax.jit, static_argnames=())
+def hist_equalize(img, bins: int = 256):
+    """Global histogram equalization (ASensor applyHistogramEqualization)."""
+    q = jnp.clip(img, 0, 255).astype(jnp.int32)
+    hist = jnp.zeros(bins).at[q.reshape(-1)].add(1.0)
+    cdf = jnp.cumsum(hist)
+    cdf = (cdf - cdf[0]) / jnp.maximum(cdf[-1] - cdf[0], 1.0)
+    return cdf[q] * 255.0
+
+
+@partial(jax.jit, static_argnames=())
+def agcwd(img, alpha: float = 0.5, bins: int = 256):
+    """Adaptive gamma correction with weighting distribution
+    (imgProcessing.h AGCWD semantics): gamma per intensity from the
+    alpha-weighted smoothed histogram CDF."""
+    q = jnp.clip(img, 0, 255).astype(jnp.int32)
+    hist = jnp.zeros(bins).at[q.reshape(-1)].add(1.0)
+    pdf = hist / jnp.maximum(jnp.sum(hist), 1.0)
+    pdf_w = jnp.max(pdf) * ((pdf / jnp.maximum(jnp.max(pdf), 1e-12)) ** alpha)
+    cdf_w = jnp.cumsum(pdf_w) / jnp.maximum(jnp.sum(pdf_w), 1e-12)
+    levels = jnp.arange(bins, dtype=img.dtype) / (bins - 1)
+    lut = 255.0 * levels ** (1.0 - cdf_w)
+    return lut[q]
+
+
+def enhance_contrast(img, method: str):
+    """Dispatch on the config contrast_enhancer string
+    (ConfigFileReader 'contrast_enhancer', ASensor.h:102 enhancers)."""
+    if method in (None, "", "none"):
+        return img
+    if method == "clahe":
+        return clahe(img)
+    if method in ("histogram", "histeq"):
+        return hist_equalize(img)
+    if method == "agcwd":
+        return agcwd(img)
+    raise ValueError(f"unknown contrast enhancer: {method}")
+
+
+def rig_from_dataset(ds) -> Rig:
+    """Rig from a DatasetConfig (EuRoC T_BS is body-from-sensor = T_f_s)."""
+    fx = jnp.asarray([c.intrinsics[0] for c in ds.cameras], jnp.float32)
+    fy = jnp.asarray([c.intrinsics[1] for c in ds.cameras], jnp.float32)
+    cx = jnp.asarray([c.intrinsics[2] for c in ds.cameras], jnp.float32)
+    cy = jnp.asarray([c.intrinsics[3] for c in ds.cameras], jnp.float32)
+    model = cameras.Pinhole(
+        fx=fx, fy=fy, cx=cx, cy=cy,
+        width=ds.cameras[0].width, height=ds.cameras[0].height,
+    )
+    Ts = [np.asarray(c.T_f_s, np.float64).reshape(4, 4) for c in ds.cameras]
+    R_f_s = jnp.asarray(np.stack([T[:3, :3] for T in Ts]), jnp.float32)
+    t_f_s = jnp.asarray(np.stack([T[:3, 3] for T in Ts]), jnp.float32)
+    return Rig(cam=model, R_f_s=R_f_s, t_f_s=t_f_s)
+
+
 class EurocProvider:
     """Frame stream from an EuRoC MAV directory (mav0/...).
 
@@ -167,22 +222,7 @@ class EurocProvider:
                     self.maps.append(None)
 
     def make_rig(self) -> Rig:
-        ds = self.dataset
-        C = len(ds.cameras)
-        fx = jnp.asarray([c.intrinsics[0] for c in ds.cameras], jnp.float32)
-        fy = jnp.asarray([c.intrinsics[1] for c in ds.cameras], jnp.float32)
-        cx = jnp.asarray([c.intrinsics[2] for c in ds.cameras], jnp.float32)
-        cy = jnp.asarray([c.intrinsics[3] for c in ds.cameras], jnp.float32)
-        model = cameras.Pinhole(
-            fx=fx, fy=fy, cx=cx, cy=cy,
-            width=ds.cameras[0].width, height=ds.cameras[0].height,
-        )
-        # extrinsics: EuRoC T_BS is body-from-sensor = our T_f_s; if an IMU
-        # calib exists, re-express relative to the IMU (body) frame
-        Ts = [np.asarray(c.T_f_s, np.float64).reshape(4, 4) for c in ds.cameras]
-        R_f_s = jnp.asarray(np.stack([T[:3, :3] for T in Ts]), jnp.float32)
-        t_f_s = jnp.asarray(np.stack([T[:3, 3] for T in Ts]), jnp.float32)
-        return Rig(cam=model, R_f_s=R_f_s, t_f_s=t_f_s)
+        return rig_from_dataset(self.dataset)
 
     def frames(self, max_frames: Optional[int] = None) -> Iterator[FrameData]:
         j1 = 0
@@ -203,8 +243,11 @@ class EurocProvider:
                     np.asarray(remap(jnp.asarray(im), mp)) if mp is not None else im
                     for im, mp in zip(imgs, self.maps)
                 ]
-            if self.contrast == "clahe":
-                imgs = [np.asarray(clahe(jnp.asarray(im))) for im in imgs]
+            if self.contrast not in (None, "", "none"):
+                imgs = [
+                    np.asarray(enhance_contrast(jnp.asarray(im), self.contrast))
+                    for im in imgs
+                ]
 
             # IMU batch covering (last_t, t0]
             k0 = i_imu

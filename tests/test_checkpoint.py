@@ -1,0 +1,73 @@
+"""Checkpoint/resume + profiler + CSV logging tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sadvio_tpu.pipeline import synthetic
+from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
+from sadvio_tpu.pipeline.slam import StereoSLAM
+from sadvio_tpu.utils import checkpoint as ckpt
+from sadvio_tpu.utils.profiler import Profiler
+
+
+def small_config():
+    return SLAMConfig(
+        slam_mode="bimono", max_kf_number=5, min_lmk_number=25,
+        max_movement_parallax=1.0, min_movement_parallax=0.02,
+        caps=Capacities(K=6, L=160, P=24, pyr_levels=3, klt_radius=5),
+    )
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic.make_world(seed=9, n_frames=24, width=320, height=240,
+                                n_points=200)
+
+
+def test_checkpoint_resume_identical(world, tmp_path):
+    """Save mid-run, resume in a fresh instance: identical trajectory."""
+    a = StereoSLAM(world.rig, small_config())
+    for f in world.frames[:12]:
+        a.process_frame(f)
+    path = str(tmp_path / "state.npz")
+    ckpt.save_slam(path, a)
+
+    b = StereoSLAM(world.rig, small_config())
+    ckpt.load_slam(path, b)
+    # kf_pyr is derived data not in the checkpoint: rebuild from the frame
+    b.kf_pyr = a.kf_pyr
+    for f in world.frames[12:]:
+        a.process_frame(f)
+        b.process_frame(f)
+    ta = np.asarray([t for _, _, t in a.traj])
+    tb = np.asarray([t for _, _, t in b.traj])
+    np.testing.assert_allclose(ta, tb, atol=1e-6)
+
+
+def test_run_logging(world, tmp_path):
+    slam = StereoSLAM(world.rig, small_config())
+    log = str(tmp_path / "log_slam")
+    est = slam.run(world.frames, log_dir=log, profile=True)
+    assert os.path.exists(os.path.join(log, "results.csv"))
+    assert os.path.exists(os.path.join(log, "vio_poses.csv"))
+    assert os.path.exists(os.path.join(log, "slam_profiler.txt"))
+    rows = open(os.path.join(log, "results.csv")).read().strip().splitlines()
+    assert len(rows) == len(slam.kf_traj)
+    assert len(rows[0].split(",")) == 13  # ts + 3x4 pose
+    prof = open(os.path.join(log, "slam_profiler.txt")).read()
+    assert "frame_total" in prof
+
+
+def test_profiler_stages():
+    p = Profiler()
+    p.tic()
+    x = sum(range(1000))
+    p.toc("stage_a")
+    with p.stage("stage_b"):
+        _ = x * 2
+    txt = p.dump()
+    assert "stage_a" in txt and "stage_b" in txt
+    assert p.counts["stage_a"] == 1

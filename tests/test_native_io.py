@@ -78,3 +78,17 @@ def test_native_matches_python(fake_euroc):
             np.testing.assert_allclose(fn.acc, fp.acc, atol=1e-5)
             np.testing.assert_allclose(fn.gyr, fp.gyr, atol=1e-5)
     np_.close()
+
+
+def test_contrast_enhancers(rng):
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.uniform(20, 120, (48, 64)), jnp.float32)
+    for method in ("clahe", "histeq", "agcwd"):
+        out = np.asarray(pyio.enhance_contrast(img, method))
+        assert out.shape == img.shape
+        assert np.isfinite(out).all()
+        assert 0.0 <= out.min() and out.max() <= 255.0 + 1e-3
+    # equalization must widen the dynamic range of a low-contrast image
+    he = np.asarray(pyio.enhance_contrast(img, "histeq"))
+    assert he.max() - he.min() > (120 - 20) * 1.5
