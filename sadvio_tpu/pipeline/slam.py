@@ -97,6 +97,17 @@ class StereoSLAM:
         self.successive_fails = 0
         self.traj = []  # (ts, R, t) at frame rate
         self.kf_traj = []
+        self.mesher = None
+        if config.mesh3d and C >= 2:
+            from sadvio_tpu.mesh.mesh import MeshConfig, Mesher
+
+            self.mesher = Mesher(rig, MeshConfig(
+                zncc_tsh=config.zncc_tsh,
+                max_edge_len=config.max_length_tsh,
+                # ray-cast depth window follows the landmark depth gate
+                # (the reference's fixed 0.25-5 m is a UGV ground prior)
+                max_ray_depth=MeshConfig().max_lmk_depth,
+            ))
         self._ba_opts = ba.BAOptions(
             iters=8, sigma_px=jnp.float32(1.0),
             acc_walk=self.imu_params.acc_walk, gyr_walk=self.imu_params.gyr_walk,
@@ -220,7 +231,14 @@ class StereoSLAM:
         n_trk = jnp.sum(ok)
         parallax = jnp.sum(jnp.where(ok, par, 0.0)) / jnp.maximum(n_trk, 1)
         n_lmk_trk = jnp.sum(ok & tracks.has3d & window.lmk_mask)
-        return tracks, R_new, t_new, pnp_ok, parallax, n_trk, n_lmk_trk
+        # health scalars packed into one array: the host fetches them with a
+        # single device->host transfer (each separate bool()/float() costs a
+        # full RPC round trip on tunneled devices)
+        health = jnp.stack([
+            pnp_ok.astype(jnp.float32), parallax,
+            n_trk.astype(jnp.float32), n_lmk_trk.astype(jnp.float32),
+        ])
+        return tracks, R_new, t_new, health
 
     @partial(jax.jit, static_argnames=("self", "slot"))
     def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
@@ -434,11 +452,12 @@ class StereoSLAM:
             return out
 
         R_pred, t_pred, v_pred = self._predict_pose(frame)
-        (self.tracks, R_new, t_new, pnp_ok, parallax, n_trk, n_lmk) = self._frontend(
+        (self.tracks, R_new, t_new, health) = self._frontend(
             self.kf_pyr, pyr_new, self.tracks, self.window,
             R_pred, t_pred, self._next_key(),
         )
-        pnp_ok_h = bool(pnp_ok)
+        health_h = np.asarray(health)  # ONE device->host fetch
+        pnp_ok_h = bool(health_h[0] > 0.5)
         if not pnp_ok_h:
             self.successive_fails += 1
             R_new, t_new = R_pred, t_pred  # dead-reckon (slamBiMonoVIO.cpp:429-443)
@@ -451,9 +470,9 @@ class StereoSLAM:
         self.traj.append((frame.ts, np.asarray(R_new), np.asarray(t_new)))
         out["pose"] = (np.asarray(R_new), np.asarray(t_new))
         out["pnp_ok"] = pnp_ok_h
-        out["n_tracked"] = int(n_trk)
-        out["n_lmk_tracked"] = int(n_lmk)
-        out["parallax_deg"] = float(parallax)
+        out["n_tracked"] = int(health_h[2])
+        out["n_lmk_tracked"] = int(health_h[3])
+        out["parallax_deg"] = float(health_h[1])
 
         # failure recovery (slamBiMonoVIO.cpp:545-553): checked at frame rate
         if self.successive_fails > 5:
@@ -461,8 +480,8 @@ class StereoSLAM:
             return out
 
         # keyframe vote (shouldInsertKeyframe, slamCore.cpp:375-430)
-        parallax_h = float(parallax)
-        n_lmk_h = int(n_lmk)
+        parallax_h = float(health_h[1])
+        n_lmk_h = int(health_h[3])
         force_kf = (not pnp_ok_h) or n_lmk_h < self.cfg.min_lmk_number
         vote_kf = parallax_h > self.cfg.max_movement_parallax
         is_kf = (force_kf or vote_kf) and parallax_h >= self.cfg.min_movement_parallax
@@ -503,6 +522,13 @@ class StereoSLAM:
             (frame.ts, np.asarray(self.R_cur), np.asarray(self.t_cur))
         )
         out["ba_cost"] = float(stats["cost"])
+
+        # densification at KF rate (mesher->addNewKF, slamBiMonoVIO.cpp:601-603;
+        # the detached Mesher thread becomes an async per-KF update)
+        if self.mesher is not None:
+            imgs = jnp.stack([pyr_new[c][0] for c in range(2)])
+            self.mesher.update(imgs, self.window, self.R_cur, self.t_cur)
+            out["mesh_triangles"] = int(jnp.sum(self.mesher.tri_mask))
         return out
 
     def reset(self):

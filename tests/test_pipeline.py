@@ -100,3 +100,21 @@ def test_bimono_matcher_tracking(world):
     # coarser bound than KLT but still a sane trajectory
     assert ate < 0.15, f"matcher-mode ATE {ate:.4f} m"
     assert len(slam.kf_traj) >= 2
+
+
+def test_bimono_with_mesh3d(world):
+    """Densification wired at KF rate (mesh3d config flag)."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(small_config("bimono"), mesh3d=True,
+                      max_length_tsh=2.0, zncc_tsh=0.5)
+    slam = StereoSLAM(world.rig, cfg)
+    for f in world.frames[:16]:
+        out = slam.process_frame(f)
+    assert slam.mesher is not None
+    cloud = slam.mesher.dense_points()
+    assert len(cloud) > 30
+    # cloud points must lie in the synthetic wall's depth band (z in [4,9]
+    # world frame; slam world ~= gt frame here)
+    z = cloud[:, 2]
+    assert (np.abs(z - np.clip(z, 3.0, 10.0)) < 1e-6).mean() > 0.9
