@@ -143,6 +143,117 @@ def preintegrate(acc, gyr, dt, ba, bg, params: ImuParams, init: Preintegration |
     return final
 
 
+def preintegrate_assoc(acc, gyr, dt, ba, bg, params: ImuParams):
+    """Log-depth preintegration via jax.lax.associative_scan.
+
+    Same outputs as `preintegrate` (deltas, 9x9 covariance, bias Jacobians)
+    but in O(log N) depth instead of an O(N) sequential scan — the
+    "sequence-parallel" formulation of the reference's per-sample loop
+    (IMU.cpp:5-91): the time axis shards across devices and each combine is
+    a small batched matmul (MXU work, not scalar chain).
+
+    Three passes, all associative:
+      1. the delta recursion is the group law of (R, v, p, t):
+         (Ra,va,pa,ta)∘(Rb,vb,pb,tb) =
+         (Ra Rb, va + Ra vb, pa + va tb + Ra pb, ta + tb);
+         its prefix rotations feed the linearized passes;
+      2. covariance: Σ_k = A_k Σ_{k-1} A_kᵀ + C_k is the affine pair scan
+         (M,C)a∘(M,C)b = (Mb Ma, Mb Ca Mbᵀ + Cb);
+      3. the five bias Jacobians stack into one 15x3 state with an affine
+         recursion X_k = M_k X_{k-1} + c_k, scanned the same way.
+
+    Padding samples (dt == 0) are exact no-ops (their elements are group /
+    affine identities).
+    """
+    dtype = acc.dtype
+    n = acc.shape[0]
+    active = dt > 0.0
+    h_ = jnp.where(active, dt, 0.0)
+    hs = jnp.where(active, dt, 1.0)
+    a_c = acc - ba[None, :]
+    w_c = gyr - bg[None, :]
+    wdt = w_c * h_[:, None]
+    dR_inc = jax.vmap(geo.so3_exp)(wdt)  # (N,3,3)
+    Jr = jax.vmap(geo.so3_right_jacobian)(wdt)
+
+    # -- pass 1: delta group law --------------------------------------------
+    def combine_delta(ea, eb):
+        Ra, va, pa, ta = ea
+        Rb, vb, pb, tb = eb
+        return (Ra @ Rb,
+                va + jnp.einsum("...ij,...j->...i", Ra, vb),
+                pa + va * tb[..., None] + jnp.einsum("...ij,...j->...i", Ra, pb),
+                ta + tb)
+
+    elems = (dR_inc, a_c * h_[:, None], 0.5 * a_c * (h_ * h_)[:, None], h_)
+    pR, pv, pp, pt = jax.lax.associative_scan(combine_delta, elems)
+    # exclusive prefix rotation (dR before each sample)
+    dR_prev = jnp.concatenate(
+        [jnp.eye(3, dtype=dtype)[None], pR[:-1]], axis=0)
+
+    # -- pass 2: covariance affine scan --------------------------------------
+    Ra_s = jnp.einsum("nij,njk->nik", dR_prev, jax.vmap(geo.skew)(a_c))
+    eye3 = jnp.eye(3, dtype=dtype)
+    h1 = h_[:, None, None]
+    A = jnp.zeros((n, 9, 9), dtype)
+    A = A.at[:, 0:3, 0:3].set(jnp.swapaxes(dR_inc, -1, -2))
+    A = A.at[:, 3:6, 0:3].set(-Ra_s * h1)
+    A = A.at[:, 3:6, 3:6].set(eye3)
+    A = A.at[:, 6:9, 0:3].set(-0.5 * Ra_s * h1 * h1)
+    A = A.at[:, 6:9, 3:6].set(eye3 * h1)
+    A = A.at[:, 6:9, 6:9].set(eye3)
+    B = jnp.zeros((n, 9, 6), dtype)
+    B = B.at[:, 0:3, 0:3].set(Jr * h1)
+    B = B.at[:, 3:6, 3:6].set(dR_prev * h1)
+    B = B.at[:, 6:9, 3:6].set(0.5 * dR_prev * h1 * h1)
+    qg = params.gyr_noise ** 2 / hs
+    qa = params.acc_noise ** 2 / hs
+    Qd = jnp.concatenate(
+        [jnp.tile(qg[:, None], (1, 3)), jnp.tile(qa[:, None], (1, 3))], axis=1)
+    C = jnp.einsum("nik,nk,njk->nij", B, Qd.astype(dtype), B)
+
+    def combine_aff_cov(ea, eb):
+        Ma, Ca = ea
+        Mb, Cb = eb
+        return (jnp.einsum("...ij,...jk->...ik", Mb, Ma),
+                jnp.einsum("...ij,...jk,...lk->...il", Mb, Ca, Mb) + Cb)
+
+    _, covs = jax.lax.associative_scan(combine_aff_cov, (A, C))
+
+    # -- pass 3: bias Jacobians, stacked affine scan --------------------------
+    # X = [J_dR_bg; J_dv_ba; J_dv_bg; J_dp_ba; J_dp_bg]  (15,3)
+    M = jnp.zeros((n, 15, 15), dtype)
+    M = M.at[:, 0:3, 0:3].set(jnp.swapaxes(dR_inc, -1, -2))
+    M = M.at[:, 3:6, 3:6].set(eye3)
+    M = M.at[:, 6:9, 0:3].set(-Ra_s * h1)
+    M = M.at[:, 6:9, 6:9].set(eye3)
+    M = M.at[:, 9:12, 3:6].set(eye3 * h1)
+    M = M.at[:, 9:12, 9:12].set(eye3)
+    M = M.at[:, 12:15, 0:3].set(-0.5 * Ra_s * h1 * h1)
+    M = M.at[:, 12:15, 6:9].set(eye3 * h1)
+    M = M.at[:, 12:15, 12:15].set(eye3)
+    c = jnp.zeros((n, 15, 3), dtype)
+    c = c.at[:, 0:3].set(-Jr * h1)         # J_dR_bg += -Jr h
+    c = c.at[:, 3:6].set(-dR_prev * h1)    # J_dv_ba += -dR h
+    c = c.at[:, 9:12].set(-0.5 * dR_prev * h1 * h1)  # J_dp_ba += -dR h^2/2
+
+    def combine_aff(ea, eb):
+        Ma, ca = ea
+        Mb, cb = eb
+        return (jnp.einsum("...ij,...jk->...ik", Mb, Ma),
+                jnp.einsum("...ij,...jk->...ik", Mb, ca) + cb)
+
+    _, Xs = jax.lax.associative_scan(combine_aff, (M, c))
+    X = Xs[-1]
+
+    return Preintegration(
+        dR=pR[-1], dv=pv[-1], dp=pp[-1], cov=covs[-1],
+        J_dR_bg=X[0:3], J_dv_ba=X[3:6], J_dv_bg=X[6:9],
+        J_dp_ba=X[9:12], J_dp_bg=X[12:15],
+        dt=pt[-1], ba_lin=ba, bg_lin=bg,
+    )
+
+
 def bias_corrected_deltas(pre: Preintegration, ba, bg):
     """First-order bias correction (IMU::biasDeltaCorrection, IMU.cpp:104-108).
 

@@ -141,3 +141,28 @@ def test_sqrt_info_whitens():
     C = np.asarray(pre.cov)
     WCWt = np.asarray(W) @ C @ np.asarray(W).T
     np.testing.assert_allclose(WCWt, np.eye(9), atol=1e-3)
+
+
+def test_associative_scan_matches_sequential(rng):
+    """preintegrate_assoc (log-depth, time-shardable) == preintegrate."""
+    n = 64
+    acc = jnp.asarray(rng.normal(0, 2.0, (n, 3)) + [0, 0, 9.81], jnp.float32)
+    gyr = jnp.asarray(rng.normal(0, 0.5, (n, 3)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.004, 0.006, (n,)), jnp.float32)
+    dt = dt.at[50:].set(0.0)  # padding tail must be a no-op in both
+    ba = jnp.asarray([0.02, -0.01, 0.03], jnp.float32)
+    bg = jnp.asarray([0.001, 0.002, -0.001], jnp.float32)
+    params = imu_mod.ImuParams.euroc()
+
+    seq = imu_mod.preintegrate(acc, gyr, dt, ba, bg, params)
+    par = imu_mod.preintegrate_assoc(acc, gyr, dt, ba, bg, params)
+
+    for name in ("dR", "dv", "dp", "dt", "J_dR_bg", "J_dv_ba", "J_dv_bg",
+                 "J_dp_ba", "J_dp_bg"):
+        a, b = np.asarray(getattr(seq, name)), np.asarray(getattr(par, name))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=name)
+    # covariance spans ~1e-10..1e-4; compare equilibrated
+    ca, cb = np.asarray(seq.cov), np.asarray(par.cov)
+    d = np.sqrt(np.clip(np.diagonal(ca), 1e-16, None))
+    np.testing.assert_allclose(ca / np.outer(d, d), cb / np.outer(d, d),
+                               atol=5e-3)
