@@ -92,13 +92,47 @@ def detect_lines(img, *, n_lines: int = 32, grad_tsh: float = 12.0,
     dtheta = jnp.abs(((theta_pix.reshape(-1)[:, None] - theta_l[None, :])
                       + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
     on = (dist < band_px) & (w_pix[:, None] > 0) & (dtheta < jnp.pi / 12)
-    s = p @ d_dir.T  # (P,K) projection parameter
     sup = jnp.sum(on, axis=0)
+
+    # sub-pixel refinement: the Hough bins quantize theta to pi/n_theta
+    # (2 deg), which tilts downstream triangulation planes; a weighted
+    # total-least-squares fit (PCA) of each line's supporting edge pixels
+    # recovers orientation to ~0.05 deg.  Two passes: the second re-selects
+    # support around the refined line with a wider band, so a bright *ridge*
+    # (whose gradient support is two parallel stripes; the Hough peak locks
+    # onto one of them) is re-centered on its true centerline -- otherwise
+    # stereo views can lock onto opposite stripes and bias the disparity.
+    def tls_fit(sel):
+        wk = jnp.where(sel, w_pix[:, None], 0.0)  # (P,K)
+        Ws = jnp.maximum(jnp.sum(wk, axis=0), 1e-6)  # (K,)
+        mu = (wk.T @ p) / Ws[:, None]  # (K,2)
+        dp_x = p[:, 0][:, None] - mu[None, :, 0]  # (P,K)
+        dp_y = p[:, 1][:, None] - mu[None, :, 1]
+        cxx = jnp.sum(wk * dp_x * dp_x, axis=0) / Ws
+        cxy = jnp.sum(wk * dp_x * dp_y, axis=0) / Ws
+        cyy = jnp.sum(wk * dp_y * dp_y, axis=0) / Ws
+        ang = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+        d = jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)  # (K,2) tangent
+        return mu, d, dp_x, dp_y
+
+    mu, d_dir, dp_x, dp_y = tls_fit(on)
+    # the Hough rho bins are coarse (2*rho_max/n_rho px), so the first
+    # support set can sit entirely on one side of the structure; re-select
+    # wide (to capture the full ridge/edge) then tighten to re-center
+    for band in (3.0 * band_px, 2.0 * band_px, 1.5 * band_px):
+        perp = jnp.abs(-dp_x * d_dir[None, :, 1] + dp_y * d_dir[None, :, 0])
+        along = dp_x * d_dir[None, :, 0] + dp_y * d_dir[None, :, 1]
+        in_seg = (along > jnp.min(jnp.where(on, along, jnp.inf), axis=0) - 2.0) \
+            & (along < jnp.max(jnp.where(on, along, -jnp.inf), axis=0) + 2.0)
+        on = (perp < band) & (w_pix[:, None] > 0) & (dtheta < jnp.pi / 12) \
+            & in_seg
+        mu, d_dir, dp_x, dp_y = tls_fit(on)
+
+    s = dp_x * d_dir[None, :, 0] + dp_y * d_dir[None, :, 1]  # (P,K) about mu
     s_min = jnp.min(jnp.where(on, s, jnp.inf), axis=0)
     s_max = jnp.max(jnp.where(on, s, -jnp.inf), axis=0)
-    base = n_dir * rho_l[:, None]  # closest point to origin (K,2)
-    e0 = base + d_dir * s_min[:, None]
-    e1 = base + d_dir * s_max[:, None]
+    e0 = mu + d_dir * s_min[:, None]
+    e1 = mu + d_dir * s_max[:, None]
     length = s_max - s_min
     valid = (strength > 0) & (sup >= min_support) & jnp.isfinite(length) & (
         length > min_len
@@ -149,6 +183,32 @@ def match_lines(ends_a, valid_a, ends_b, valid_b, *, max_midpoint_px=40.0,
     return jnp.where(ok, best, -1).astype(jnp.int32), best_s
 
 
+def dedup_lines(ends, valid, strength, *, max_angle_deg=4.0, max_perp_px=4.0):
+    """Suppress duplicate/fragment detections of the same physical line.
+
+    Hough NMS works in (rho, theta) bins; long ridges still yield fragments
+    in neighbouring bins.  A detection is dropped when a *stronger* one has
+    nearly the same infinite line (angle + midpoint-perpendicular gates).
+    Returns the updated valid mask.
+    """
+    mid = ends.mean(axis=1)
+    d = ends[:, 1] - ends[:, 0]
+    ln = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
+    t_hat = d / ln[:, None]
+    ang = jnp.arctan2(d[..., 1], d[..., 0]) % jnp.pi
+    dang = jnp.abs(((ang[:, None] - ang[None, :]) + jnp.pi / 2) % jnp.pi
+                   - jnp.pi / 2)
+    rel = mid[None, :, :] - mid[:, None, :]  # (i,j): mid_j - mid_i
+    perp = jnp.abs(rel[..., 0] * (-t_hat[:, None, 1])
+                   + rel[..., 1] * t_hat[:, None, 0])
+    same = (dang < jnp.deg2rad(max_angle_deg)) & (perp < max_perp_px)
+    stronger = (strength[None, :] > strength[:, None]) | (
+        (strength[None, :] == strength[:, None])
+        & (jnp.arange(ends.shape[0])[None, :] < jnp.arange(ends.shape[0])[:, None]))
+    killed = jnp.any(same & stronger & valid[None, :], axis=1)
+    return valid & ~killed
+
+
 def triangulate_line(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
                      ends_a, ends_b):
     """3D line segment from two views (plane-intersection, batched).
@@ -179,19 +239,28 @@ def triangulate_line(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
 
 
 def line_reproj_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p0_w, p1_w,
-                         ends_obs, sigma_px=1.0):
+                         ends_obs, sigma_px=1.0, w_along=0.3):
     """4-dim line reprojection residual (linexd variant semantics,
     BundleAdjustmentCERESAnalytic.h:104-195).
 
     Residual = signed distances of the two projected 3D endpoints to the
-    observed *infinite* line, plus the along-line overshoot of each
-    projected endpoint beyond the observed segment (keeps the length
-    observable, like the reference's 4-dim cost).
+    observed *infinite* line, plus down-weighted along-line errors matching
+    each projected endpoint to an observed endpoint.  The reference's 4-dim
+    cost is endpoint-to-endpoint; pure perpendicular errors would leave the
+    endpoints' along-line positions unobservable (a Gauss-Newton null
+    space), so the along-line terms are kept but at w_along (segment
+    extents are clipped by occlusion/detection, so they carry less
+    information than the perpendicular distances).
     """
     from sadvio_tpu.models import cameras
 
-    uv0, v0 = cameras.project_world(model, R_w_f, t_w_f, R_f_s, t_f_s, p0_w)
-    uv1, v1 = cameras.project_world(model, R_w_f, t_w_f, R_f_s, t_f_s, p1_w)
+    uv0, _ = cameras.project_world(model, R_w_f, t_w_f, R_f_s, t_f_s, p0_w)
+    uv1, _ = cameras.project_world(model, R_w_f, t_w_f, R_f_s, t_f_s, p1_w)
+    # validity is cheirality-only: a segment may legitimately extend past
+    # the image border, and bounds-gating inside an optimizer lets the
+    # solver "win" by pushing endpoints out of view (masked residual -> 0)
+    v0 = cameras.world_to_cam(R_w_f, t_w_f, R_f_s, t_f_s, p0_w)[..., 2] > 0.05
+    v1 = cameras.world_to_cam(R_w_f, t_w_f, R_f_s, t_f_s, p1_w)[..., 2] > 0.05
     a = ends_obs[..., 0, :]
     b = ends_obs[..., 1, :]
     d = b - a
@@ -203,10 +272,15 @@ def line_reproj_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p0_w, p1_w,
         rel = uv - a
         perp = jnp.sum(rel * n_hat, axis=-1)
         s = jnp.sum(rel * t_hat, axis=-1)
-        over = jnp.maximum(-s, 0.0) + jnp.maximum(s - length[..., 0], 0.0)
-        return perp, over
+        return perp, s
 
-    p0, o0 = comps(uv0)
-    p1, o1 = comps(uv1)
-    r = jnp.stack([p0, p1, o0, o1], axis=-1) / sigma_px
+    p0, s0 = comps(uv0)
+    p1, s1 = comps(uv1)
+    # order-free endpoint assignment: the lower-s endpoint matches obs a
+    swap = s0 > s1
+    s_lo = jnp.where(swap, s1, s0)
+    s_hi = jnp.where(swap, s0, s1)
+    r = jnp.stack(
+        [p0, p1, w_along * s_lo, w_along * (s_hi - length[..., 0])], axis=-1
+    ) / sigma_px
     return r, v0 & v1

@@ -95,6 +95,7 @@ class StereoSLAM:
         self.key = jax.random.PRNGKey(seed)
         self.initialized = False
         self.successive_fails = 0
+        self.n_resets = 0  # re-initialization count (failure recovery)
         self.traj = []  # (ts, R, t) at frame rate
         self.kf_traj = []
         self.mesher = None
@@ -108,6 +109,13 @@ class StereoSLAM:
                 # (the reference's fixed 0.25-5 m is a UGV ground prior)
                 max_ray_depth=MeshConfig().max_lmk_depth,
             ))
+        # optional extra feature types (features_handled dispatch,
+        # slamParameters.cpp:63-240): "linexd" adds the line channel
+        self.line_channel = None
+        if C >= 2 and any(f.label == "linexd" for f in config.features):
+            from sadvio_tpu.pipeline.line_channel import LineChannel
+
+            self.line_channel = LineChannel(rig)
         self._ba_opts = ba.BAOptions(
             iters=8, sigma_px=jnp.float32(1.0),
             acc_walk=self.imu_params.acc_walk, gyr_walk=self.imu_params.gyr_walk,
@@ -529,12 +537,14 @@ class StereoSLAM:
             imgs = jnp.stack([pyr_new[c][0] for c in range(2)])
             self.mesher.update(imgs, self.window, self.R_cur, self.t_cur)
             out["mesh_triangles"] = int(jnp.sum(self.mesher.tri_mask))
+        if self.line_channel is not None:
+            out.update(self.line_channel.on_keyframe(
+                pyr_new[0][0], pyr_new[1][0], self.R_cur, self.t_cur))
         return out
 
     def reset(self):
         K, L, P = self.caps.K, self.caps.L, self.caps.P
-        C = rig.C
-        self.C = C
+        C = self.rig.C
         self.window = WindowState.create(K, L)
         self.obs = Observations.create(K, C, L)
         self.priors = PriorSet.create(K, P)
@@ -547,6 +557,7 @@ class StereoSLAM:
         self.n_kf = 0
         self.initialized = False
         self.successive_fails = 0
+        self.n_resets += 1
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)

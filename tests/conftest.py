@@ -23,6 +23,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A full-suite run accumulates ~100 jitted programs; on this machine the
+    XLA CPU compiler aborts (SIGABRT/SIGSEGV inside backend_compile_and_load)
+    when the 8-device GSPMD BA compile runs on top of all of them.  Bounding
+    live executables per module keeps the session stable; per-module tests
+    still share compilations where it matters.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng():
     # function-scoped: each test gets the same deterministic stream no matter

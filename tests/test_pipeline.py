@@ -118,3 +118,23 @@ def test_bimono_with_mesh3d(world):
     # world frame; slam world ~= gt frame here)
     z = cloud[:, 2]
     assert (np.abs(z - np.clip(z, 3.0, 10.0)) < 1e-6).mean() > 0.9
+
+
+def test_corrupt_frames_trigger_reset(world):
+    """Failure recovery (slamBiMonoVIO.cpp:545-553): zeroed images ->
+    dead-reckon, then a full re-initialization after >5 consecutive fails.
+    Regression: reset() once crashed on an unbound name."""
+    slam = StereoSLAM(world.rig, small_config("bimono"))
+    for f in world.frames[:8]:
+        slam.process_frame(f)
+    assert slam.initialized
+    blank = world.frames[8]._replace(images=np.zeros_like(world.frames[8].images))
+    for _ in range(10):
+        out = slam.process_frame(blank)
+    assert slam.n_resets >= 1  # failure recovery fired
+    for p in [p for (_, _, p) in slam.traj]:
+        assert np.isfinite(p).all()
+    # pipeline must re-bootstrap cleanly on good frames
+    for f in world.frames[9:14]:
+        out = slam.process_frame(f)
+    assert slam.initialized and out["ok"]
