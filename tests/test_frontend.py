@@ -171,3 +171,37 @@ def test_pnp_ransac(rng):
     assert np.abs(d).max() < 1e-3
     assert np.asarray(inl)[14:].mean() > 0.9
     assert np.asarray(inl)[:14].mean() < 0.2
+
+
+def test_homography_ransac_planar_scene(rng):
+    """Planar-scene fallback (estimateMotionWithHomography semantics):
+    recover R, unit t and the plane normal from a pure plane."""
+    import jax
+    from sadvio_tpu.frontend import epipolar
+    from sadvio_tpu.utils import geometry as geo
+
+    n_true = np.asarray([0.1, -0.05, 1.0])
+    n_true = n_true / np.linalg.norm(n_true)
+    d = 5.0
+    # points on the plane n.X = d
+    xy = rng.uniform(-2.5, 2.5, (120, 2))
+    z = (d - xy @ n_true[:2]) / n_true[2]
+    X = np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+
+    R_ab = np.asarray(geo.so3_exp(jnp.asarray([0.04, -0.06, 0.02])))
+    t_ab = np.asarray([0.4, 0.1, -0.2], np.float32)
+    # camera a at origin; b at (R_ab, t_ab) in a's frame
+    Xa = X
+    Xb = (Xa - t_ab) @ R_ab  # R^T (X - t)
+    rays_a = jnp.asarray(Xa / np.linalg.norm(Xa, axis=-1, keepdims=True))
+    rays_b = jnp.asarray(Xb / np.linalg.norm(Xb, axis=-1, keepdims=True))
+    valid = jnp.ones((120,), bool)
+
+    R, t, n, inl, ok = epipolar.homography_ransac(
+        rays_a.astype(jnp.float32), rays_b.astype(jnp.float32), valid,
+        jax.random.PRNGKey(0))
+    assert bool(ok), int(jnp.sum(inl))
+    np.testing.assert_allclose(np.asarray(R), R_ab, atol=5e-3)
+    t_dir = t_ab / np.linalg.norm(t_ab)
+    np.testing.assert_allclose(np.asarray(t), t_dir, atol=2e-2)
+    np.testing.assert_allclose(np.abs(np.asarray(n) @ n_true), 1.0, atol=1e-2)
