@@ -60,3 +60,20 @@ def stereo_triangulate(rig_origins_w, rays_w, valid, det_eps=1e-4,
         jnp.moveaxis(origins, 0, -2), jnp.moveaxis(rays_w, 0, -2),
         jnp.moveaxis(valid, 0, -1), det_eps=det_eps, max_depth=max_depth,
     )
+
+
+def depth_init(origins, dirs, depths, mask, min_depth=0.1, max_depth=40.0):
+    """RGBD landmark init: average the per-view depth-backprojected points.
+
+    Semantics of Point3DLandmarkInitializer::initLandmarkWithDepth
+    (Point3DlandmarkInitializer.cpp:101-123): each observation contributes
+    origin + depth * ray; the landmark is the masked mean.  origins, dirs:
+    (...,M,3) world-frame; depths: (...,M) metric along-ray depths (<=0 or
+    out-of-range measurements are ignored).  Returns (p (...,3), ok).
+    """
+    good = mask & (depths > min_depth) & (depths < max_depth)
+    w = good.astype(origins.dtype)[..., None]
+    pts = origins + dirs * depths[..., None]
+    n = jnp.sum(w, axis=-2)
+    p = jnp.sum(pts * w, axis=-2) / jnp.maximum(n, 1.0)
+    return p, n[..., 0] >= 1

@@ -205,3 +205,22 @@ def test_homography_ransac_planar_scene(rng):
     t_dir = t_ab / np.linalg.norm(t_ab)
     np.testing.assert_allclose(np.asarray(t), t_dir, atol=2e-2)
     np.testing.assert_allclose(np.abs(np.asarray(n) @ n_true), 1.0, atol=1e-2)
+
+
+def test_depth_init_rgbd():
+    """RGBD path (initLandmarkWithDepth): mean of depth-backprojections."""
+    origins = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+    p_true = jnp.asarray([0.5, 0.2, 4.0])
+    d0 = p_true - origins[0, 0]
+    d1 = p_true - origins[0, 1]
+    dirs = jnp.stack([d0 / jnp.linalg.norm(d0), d1 / jnp.linalg.norm(d1)])[None]
+    depths = jnp.asarray([[jnp.linalg.norm(d0), jnp.linalg.norm(d1)]])
+    p, ok = triangulate.depth_init(origins, dirs, depths,
+                                   jnp.asarray([[True, True]]))
+    assert bool(ok[0])
+    np.testing.assert_allclose(np.asarray(p[0]), np.asarray(p_true), atol=1e-5)
+    # invalid depths are ignored; all-invalid -> not ok
+    p2, ok2 = triangulate.depth_init(origins, dirs,
+                                     jnp.asarray([[0.0, -1.0]]),
+                                     jnp.asarray([[True, True]]))
+    assert not bool(ok2[0])
