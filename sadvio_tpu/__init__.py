@@ -18,3 +18,16 @@ import jax as _jax
 # all matmuls; throughput-bound image kernels opt back into bf16 explicitly
 # via precision=/preferred_element_type= at their call sites.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the pipeline's stage kernels cost 10-90 s to
+# compile (XLA on 2 weak host CPUs); caching them on disk makes every later
+# process (tests, bench, replay runs) start hot.
+import os as _os
+
+_cache_dir = _os.environ.get("SADVIO_JAX_CACHE", "/tmp/sadvio_jax_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

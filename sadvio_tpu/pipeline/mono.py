@@ -174,9 +174,9 @@ class MonoSLAM(StereoSLAM):
     # keyframe insertion: detect only; triangulate from window observations
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnames=("self", "slot"))
+    @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks, window, obs, imu_chain, pre_cur,
-                   R_kf, t_kf, v_kf, ts, key, slot: int):
+                   R_kf, t_kf, v_kf, ts, key, slot):
         cam0 = _cam0(self.rig)
         L = self.caps.L
         img0 = pyr_new[0][0]
@@ -207,13 +207,17 @@ class MonoSLAM(StereoSLAM):
             uv=obs.uv.at[slot, 0].set(new_uv0),
             mask=obs.mask.at[slot, 0].set(new_v0),
         )
-        if slot > 0:
-            imu_chain = imu_chain.replace(
-                pre=jax.tree.map(
-                    lambda a, b: a.at[slot - 1].set(b), imu_chain.pre, pre_cur
-                ),
-                mask=imu_chain.mask.at[slot - 1].set(pre_cur.dt > 1e-6),
-            )
+        idx = jnp.maximum(slot - 1, 0)
+        write = slot > 0
+        imu_chain = imu_chain.replace(
+            pre=jax.tree.map(
+                lambda a, b: a.at[idx].set(jnp.where(write, b, a[idx])),
+                imu_chain.pre, pre_cur,
+            ),
+            mask=imu_chain.mask.at[idx].set(
+                jnp.where(write, pre_cur.dt > 1e-6, imu_chain.mask[idx])
+            ),
+        )
 
         # triangulate slots with >=2 window observations and no landmark yet
         # (initFromFeatures: use every observation in the window)

@@ -71,8 +71,9 @@ class StereoSLAM:
         self.vio = config.slam_mode.endswith("vio")
         self.imu_params = imu_params or imu_mod.ImuParams.euroc()
         # the Pallas LK kernel is ~1000x the XLA gather path on TPU; it
-        # requires a real TPU backend (mosaic) and level width >= 256
-        self.use_pallas = jax.devices()[0].platform == "tpu"
+        # requires a real TPU backend (mosaic) and level width >= 256.
+        # "axon" is this machine's tunneled-TPU plugin (mosaic-capable).
+        self.use_pallas = jax.devices()[0].platform in ("tpu", "axon")
         K, L, P = self.caps.K, self.caps.L, self.caps.P
         C = rig.C
         self.C = C
@@ -85,6 +86,7 @@ class StereoSLAM:
             uv_kf=jnp.zeros((C, L, 2)), has3d=jnp.zeros((L,), bool),
         )
         self.pre_cur = imu_mod.Preintegration.identity()
+        self._imu_n = 0  # host-side count of samples in pre_cur
         # current-frame estimate
         self.R_cur = jnp.eye(3)
         self.t_cur = jnp.zeros(3)
@@ -248,11 +250,15 @@ class StereoSLAM:
         ])
         return tracks, R_new, t_new, health
 
-    @partial(jax.jit, static_argnames=("self", "slot"))
+    @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
-                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot: int):
-        """Insert keyframe at static slot: detect, stereo-track, triangulate,
-        write observation rows (slamBiMonoVIO.cpp:481-538 semantics)."""
+                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot):
+        """Insert keyframe at (dynamic) slot: detect, stereo-track,
+        triangulate, write observation rows (slamBiMonoVIO.cpp:481-538).
+
+        slot is a traced scalar: a static slot re-traced this kernel for
+        every window position during fill (~13 s compile each on the
+        tunneled TPU)."""
         cam0 = _cam0(self.rig)
         cam1 = _cam(self.rig, 1)
         L = self.caps.L
@@ -319,13 +325,17 @@ class StereoSLAM:
             uv=obs.uv.at[slot, 0].set(new_uv0).at[slot, 1].set(uv1),
             mask=obs.mask.at[slot, 0].set(new_v0).at[slot, 1].set(ok1),
         )
-        if slot > 0:
-            imu_chain = imu_chain.replace(
-                pre=jax.tree.map(
-                    lambda a, b: a.at[slot - 1].set(b), imu_chain.pre, pre_cur
-                ),
-                mask=imu_chain.mask.at[slot - 1].set(pre_cur.dt > 1e-6),
-            )
+        idx = jnp.maximum(slot - 1, 0)
+        write = slot > 0
+        imu_chain = imu_chain.replace(
+            pre=jax.tree.map(
+                lambda a, b: a.at[idx].set(jnp.where(write, b, a[idx])),
+                imu_chain.pre, pre_cur,
+            ),
+            mask=imu_chain.mask.at[idx].set(
+                jnp.where(write, pre_cur.dt > 1e-6, imu_chain.mask[idx])
+            ),
+        )
         tracks = TrackState(
             uv=jnp.stack([new_uv0, uv1]),
             valid=jnp.stack([new_v0, ok1]),
@@ -334,9 +344,10 @@ class StereoSLAM:
         )
         return tracks, window, obs, imu_chain
 
-    @partial(jax.jit, static_argnames=("self", "fixed_n"))
-    def _backend(self, window, obs, imu_chain, priors, fixed_n: int):
-        """Window BA + outlier removal (backEndStep semantics)."""
+    @partial(jax.jit, static_argnames=("self",))
+    def _backend(self, window, obs, imu_chain, priors, fixed_n):
+        """Window BA + outlier removal (backEndStep semantics).
+        fixed_n is traced (its value flips 1->0 once priors exist)."""
         fixed = jnp.arange(self.caps.K) < fixed_n
         problem = ba.BAProblem(
             window, obs, self.rig, imu_chain, priors, fixed, jnp.asarray(False)
@@ -392,31 +403,61 @@ class StereoSLAM:
     # host-side frame loop
     # ------------------------------------------------------------------
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _predict_imu(self, pre, window, k_last):
+        R_i = window.R[k_last]
+        t_i = window.t[k_last]
+        v_i = window.v[k_last]
+        return imu_mod.predict(pre, R_i, t_i, v_i,
+                               ba=window.ba[k_last], bg=window.bg[k_last])
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _predict_cv(self, R_cur, t_cur, dR, dt_):
+        return geo.pose_compose(R_cur, t_cur, dR, dt_)
+
     def _predict_pose(self, frame):
         """Motion prediction: IMU if VIO (IMU.cpp estimateTransform), else
-        constant velocity (slamCore.cpp:432-466)."""
-        if self.vio and self.pre_cur.dt > 0:
-            k_last = self.n_kf - 1
-            R_i = self.window.R[k_last]
-            t_i = self.window.t[k_last]
-            v_i = self.window.v[k_last]
-            R_p, t_p, v_p = imu_mod.predict(
-                self.pre_cur, R_i, t_i, v_i,
-                ba=self.window.ba[k_last], bg=self.window.bg[k_last],
-            )
-            return R_p, t_p, v_p
+        constant velocity (slamCore.cpp:432-466).  Both branches are jitted
+        (eager Lie ops are one RPC each on a tunneled device), and the
+        branch condition is the host-side sample counter, not a device
+        fetch."""
+        if self.vio and self._imu_n > 0:
+            return self._predict_imu(self.pre_cur, self.window, self.n_kf - 1)
         dR, dt_ = self.dT
-        R_p, t_p = geo.pose_compose(self.R_cur, self.t_cur, dR, dt_)
+        R_p, t_p = self._predict_cv(self.R_cur, self.t_cur, dR, dt_)
         return R_p, t_p, self.v_cur
 
+    _IMU_CAP = 32  # padded per-frame sample capacity (one compiled shape)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _preint(self, acc, gyr, dt, pre):
+        return imu_mod.preintegrate(
+            acc, gyr, dt, pre.ba_lin, pre.bg_lin, self.imu_params, init=pre)
+
     def _accumulate_imu(self, frame):
-        if len(frame.dt) == 0:
+        """Jitted, fixed-shape preintegration of the frame's IMU batch.
+
+        Eager preintegration dispatches ~15 small ops per sample; on a
+        tunneled device that is one RPC each (~700 ms/frame measured).
+        Padding to _IMU_CAP (dt==0 rows are exact no-ops in the scan) keeps
+        a single compiled executable and a single dispatch.
+        """
+        n = len(frame.dt)
+        if n == 0:
             return
-        self.pre_cur = imu_mod.preintegrate(
-            jnp.asarray(frame.acc), jnp.asarray(frame.gyr), jnp.asarray(frame.dt),
-            self.pre_cur.ba_lin, self.pre_cur.bg_lin, self.imu_params,
-            init=self.pre_cur,
-        )
+        cap = self._IMU_CAP
+        for k0 in range(0, n, cap):
+            sl = slice(k0, min(k0 + cap, n))
+            m = sl.stop - sl.start
+            acc = np.zeros((cap, 3), np.float32)
+            gyr = np.zeros((cap, 3), np.float32)
+            dt = np.zeros((cap,), np.float32)
+            acc[:m] = frame.acc[sl]
+            gyr[:m] = frame.gyr[sl]
+            dt[:m] = frame.dt[sl]
+            self.pre_cur = self._preint(
+                jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dt), self.pre_cur)
+        self._imu_n += n
 
     def _gravity_align_init(self, frame):
         """First-pose gravity alignment from averaged accelerometer samples
@@ -452,6 +493,7 @@ class StereoSLAM:
             )
             self.n_kf = 1
             self.pre_cur = imu_mod.Preintegration.identity()
+            self._imu_n = 0
             self.kf_pyr = pyr_new
             self.initialized = True
             self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
@@ -514,6 +556,7 @@ class StereoSLAM:
         self.pre_cur = imu_mod.Preintegration.identity().replace(
             ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
         )
+        self._imu_n = 0
 
         # back end (KF rate)
         fixed_n = 1 if not self.cfg.marginalization or not jnp.any(self.priors.sp_mask) else 0
@@ -554,6 +597,7 @@ class StereoSLAM:
             uv_kf=jnp.zeros((C, L, 2)), has3d=jnp.zeros((L,), bool),
         )
         self.pre_cur = imu_mod.Preintegration.identity()
+        self._imu_n = 0
         self.n_kf = 0
         self.initialized = False
         self.successive_fails = 0
