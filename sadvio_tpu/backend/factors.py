@@ -183,3 +183,30 @@ def relative_pose_residual(R_i, t_i, R_j, t_j, dx_meas, sqrt_info):
 def scale_prior_residual(log_scale, log_scale0, weight):
     """Scale prior for monocular VI init (residuals.hpp scalePrior:702-717)."""
     return weight * (log_scale - log_scale0)
+
+
+def motion2d_residual(R_i, t_i, R_j, t_j, motion_2d, dt, sqrt_info):
+    """Planar (UGV) odometry prior (residuals.hpp Motion2DFactor:10-69).
+
+    motion_2d = (v_x, omega_z): over dt the body is expected to advance
+    dx = v_x*dt along its own x axis while yawing dtheta = omega_z*dt,
+    staying in plane.  r = W * local(T_i . T_delta, T_j) on our SO3xR3
+    chart (the reference whitens the same constraint on its se3 vec chart).
+    """
+    dtype = R_i.dtype
+    dx = motion_2d[..., 0] * dt
+    dth = motion_2d[..., 1] * dt
+    c, s = jnp.cos(dth), jnp.sin(dth)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    Rd = jnp.stack(
+        [
+            jnp.stack([c, -s, zero], axis=-1),
+            jnp.stack([s, c, zero], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    ).astype(dtype)
+    td = jnp.stack([dx, zero, zero], axis=-1).astype(dtype)
+    Rp, tp = geo.pose_compose(R_i, t_i, Rd, td)
+    return jnp.einsum("...ab,...b->...a", sqrt_info, geo.pose_local(Rp, tp, R_j, t_j))

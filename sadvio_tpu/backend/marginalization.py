@@ -451,6 +451,94 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     return new, info
 
 
+@partial(jax.jit, static_argnames=("vio",))
+def marginalize_relative(state: WindowState, obs: Observations, rig: Rig,
+                         imu: ImuChain, opts: BAOptions, vio: bool = True):
+    """Nonlinear-factor-recovery pose-graph edge between KF slots 0 and 1.
+
+    Semantics of BundleAdjustmentCERESAnalytic::marginalizeRelative
+    (BundleAdjustmentCERESAnalytic.cpp:665-809) with the blanket of
+    preMarginalizeRelative (marginalization.cpp:532+): every landmark
+    co-observed by the two frames is marginalized -- plus, for VIO, the
+    preintegration and bias-random-walk factors between them -- and the
+    joint marginal over the two poses is condensed into a single
+    Relative6DPose factor whose information KLD-matches it:
+    cov = J Sigma_k J^T, inf = cov^+ (the reference's NFR recipe, eigen
+    pseudo-inverse at the same role as its 1e-12 threshold).
+
+    TPU-native differences: landmark elimination is a batched per-landmark
+    3x3 Schur (no dense (m+n)^3 assembly); the relative-residual Jacobian
+    comes from jacfwd on our retraction chart instead of the reference's
+    hand-derived se3-vec chart.
+
+    Returns (dx_meas (6,), inf (6,6), n_shared) -- the measured relative
+    retraction, its recovered information, and the shared-landmark count
+    (0 means the edge is uninformative and should be skipped).
+    """
+    dtype = state.lmk.dtype
+    D2 = 2 * D
+
+    shared = jnp.any(obs.mask[0], axis=0) & jnp.any(obs.mask[1], axis=0) & state.lmk_mask
+
+    r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
+    w2 = w[:2] * shared[None, None, :]
+    wJp = w2[..., None, None] * Jp[:2]
+    Hpp_s = jnp.einsum("kclai,kclaj->kij", wJp, Jp[:2])  # (2,6,6)
+    Hpl_s = jnp.einsum("kclai,kclaj->klij", wJp, Jl[:2])  # (2,L,6,3)
+    Hll = jnp.einsum("kclai,kclaj->lij", w2[..., None, None] * Jl[:2], Jl[:2])
+
+    H = jnp.zeros((D2, D2), dtype)
+    H = H.at[0:6, 0:6].add(Hpp_s[0])
+    H = H.at[D : D + 6, D : D + 6].add(Hpp_s[1])
+
+    if vio:
+        from sadvio_tpu.backend import factors as F
+
+        def rfun(dx):
+            d0, d1 = dx[:D], dx[D:]
+            R0, t0 = geo.pose_retract(state.R[0], state.t[0], d0[:6])
+            R1, t1 = geo.pose_retract(state.R[1], state.t[1], d1[:6])
+            v0, ba0, bg0 = state.v[0] + d0[6:9], state.ba[0] + d0[9:12], state.bg[0] + d0[12:15]
+            v1, ba1, bg1 = state.v[1] + d1[6:9], state.ba[1] + d1[9:12], state.bg[1] + d1[12:15]
+            pre0 = jax.tree.map(lambda x: x[0], imu.pre)
+            W = imu_mod.sqrt_info(pre0)
+            r_imu = F.imu_factor_residual(pre0, W, R0, t0, v0, ba0, bg0, R1, t1, v1)
+            r_bias = F.bias_rw_residual(ba0, bg0, ba1, bg1, pre0.dt, opts.acc_walk, opts.gyr_walk)
+            mm = imu.mask[0]
+            return jnp.concatenate([jnp.where(mm, r_imu, 0.0), jnp.where(mm, r_bias, 0.0)])
+
+        J_imu = jax.jacfwd(rfun)(jnp.zeros((D2,), dtype))
+        H = H + J_imu.T @ J_imu
+
+    # batched per-landmark 3x3 elimination onto the two pose blocks
+    em = shared.astype(dtype)
+    Hll_e = Hll + jnp.eye(3, dtype=dtype) * opts.jitter
+    Hll_inv = jnp.linalg.inv(Hll_e) * em[:, None, None]
+    B = jnp.zeros((state.L, D2, 3), dtype)
+    B = B.at[:, 0:6, :].set(Hpl_s[0] * em[:, None, None])
+    B = B.at[:, D : D + 6, :].set(Hpl_s[1] * em[:, None, None])
+    Ak = _sym(H - jnp.einsum("lij,ljk,lmk->im", B, Hll_inv, B))
+
+    Sigma_k, _, _, _ = rank_revealing_pinv(Ak)
+    sel = jnp.concatenate([jnp.arange(6), D + jnp.arange(6)])
+    Sigma_pp = Sigma_k[sel][:, sel]
+
+    # Jacobian of the relative-pose residual wrt the two pose deltas
+    dx_meas = geo.pose_local(state.R[0], state.t[0], state.R[1], state.t[1])
+
+    def rel(dx12):
+        from sadvio_tpu.backend import factors as F
+
+        R0, t0 = geo.pose_retract(state.R[0], state.t[0], dx12[:6])
+        R1, t1 = geo.pose_retract(state.R[1], state.t[1], dx12[6:])
+        return F.relative_pose_residual(R0, t0, R1, t1, dx_meas, jnp.eye(6, dtype=dtype))
+
+    Jr = jax.jacfwd(rel)(jnp.zeros((12,), dtype))
+    cov = Jr @ Sigma_pp @ Jr.T
+    inf, _, _, _ = rank_revealing_pinv(cov)
+    return dx_meas, _sym(inf), jnp.sum(shared)
+
+
 def shift_priors(priors: PriorSet) -> PriorSet:
     """Re-index a PriorSet after the window shifts left by one slot."""
     roll = lambda x: jnp.roll(x, -1, axis=0)

@@ -65,6 +65,10 @@ class SLAMConfig:
     max_movement_parallax: float = 4.0  # deg, forces KF above
     zncc_tsh: float = 0.8
     max_length_tsh: float = 0.5
+    # archive an NFR relative-pose edge (marginalizeRelative,
+    # BundleAdjustmentCERESAnalytic.cpp:665-809) each time a KF is
+    # marginalized; consumed by pose-graph/loop-closure tooling
+    pose_graph: bool = False
     features: tuple = (FeatureConfig(),)
     caps: Capacities = Capacities()
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sadvio_tpu.backend import viinit
-from sadvio_tpu.data.window import ImuChain, Observations, PriorSet
+from sadvio_tpu.data.window import LMK_RESURRECTED, ImuChain, Observations, PriorSet
 from sadvio_tpu.frontend import detect, epipolar, klt, triangulate
 from sadvio_tpu.models import cameras, imu as imu_mod
 from sadvio_tpu.pipeline.slam import StereoSLAM, TrackState, _cam0
@@ -185,14 +185,37 @@ class MonoSLAM(StereoSLAM):
             img0, existing_uv=tracks.uv[0], existing_valid=tracks.valid[0],
             gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
         )
-        free = ~(tracks.valid[0] | window.lmk_mask)
+        # landmark resurrection (recoverFeatureFromMapLandmarks
+        # slamCore.cpp:253; same scheme as StereoSLAM._insert_kf)
+        dead = window.lmk_mask & ~tracks.valid[0]
+        uv_prj, vis_p = cameras.project_world(
+            cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
+        )
+        M = uv_det.shape[0]
+        d2 = jnp.sum((uv_prj[:, None] - uv_det[None, :]) ** 2, -1)
+        gate = (dead & vis_p)[:, None] & v_det[None, :] & (d2 < 25.0)
+        d2g = jnp.where(gate, d2, jnp.inf)
+        bestd = jnp.argmin(d2g, axis=1)
+        bestl = jnp.argmin(d2g, axis=0)
+        hit = (jnp.min(d2g, axis=1) < jnp.inf) & (bestl[bestd] == jnp.arange(L))
+        uv0_base = jnp.where(hit[:, None], uv_det[bestd], tracks.uv[0])
+        v0_base = tracks.valid[0] | hit
+        v_det = v_det & ~jnp.zeros_like(v_det).at[
+            jnp.where(hit, bestd, M)
+        ].set(True, mode="drop")
+        window = window.replace(
+            lmk_flags=jnp.where(hit, window.lmk_flags | LMK_RESURRECTED,
+                                window.lmk_flags)
+        )
+
+        free = ~(v0_base | window.lmk_mask)
         det_rank = jnp.cumsum(v_det) - 1
         n_free = jnp.sum(free)
         free_slots = jnp.nonzero(free, size=L, fill_value=L - 1)[0]
         take = v_det & (det_rank < n_free)
         slot_of_det = jnp.where(take, free_slots[jnp.clip(det_rank, 0, L - 1)], L)
-        new_uv0 = tracks.uv[0].at[slot_of_det].set(uv_det, mode="drop")
-        new_v0 = tracks.valid[0].at[slot_of_det].set(True, mode="drop")
+        new_uv0 = uv0_base.at[slot_of_det].set(uv_det, mode="drop")
+        new_v0 = v0_base.at[slot_of_det].set(True, mode="drop")
 
         # write window slot + mono observation row
         window = window.replace(

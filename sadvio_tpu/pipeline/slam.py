@@ -36,7 +36,9 @@ import numpy as np
 from flax import struct
 
 from sadvio_tpu.backend import ba, marginalization as marg
-from sadvio_tpu.data.window import ImuChain, Observations, PriorSet, Rig, WindowState
+from sadvio_tpu.data.window import (
+    LMK_RESURRECTED, ImuChain, Observations, PriorSet, Rig, WindowState,
+)
 from sadvio_tpu.frontend import detect, epipolar, klt, match as match_mod, pnp, triangulate
 from sadvio_tpu.models import cameras, imu as imu_mod
 from sadvio_tpu.pipeline.config import SLAMConfig
@@ -100,6 +102,10 @@ class StereoSLAM:
         self.n_resets = 0  # re-initialization count (failure recovery)
         self.traj = []  # (ts, R, t) at frame rate
         self.kf_traj = []
+        # global archive of marginalized KFs (GlobalMap::addFrame role,
+        # globalmap.cpp:5) + optional NFR pose-graph edges (marginalizeRelative)
+        self.archived_kf = []  # (ts, R, t) host-side append-only log
+        self.pose_graph_edges = []  # (ts0, ts1, dx (6,), inf (6,6))
         self.mesher = None
         if config.mesh3d and C >= 2:
             from sadvio_tpu.mesh.mesh import MeshConfig, Mesher
@@ -269,15 +275,45 @@ class StereoSLAM:
             img0, existing_uv=tracks.uv[0], existing_valid=tracks.valid[0],
             gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
         )
-        free = ~(tracks.valid[0] | window.lmk_mask)  # (L,)
+        # 1b. landmark resurrection (recoverFeatureFromMapLandmarks
+        # slamCore.cpp:253; ldmk_match 5x5 search box, afeaturematcher.cpp):
+        # in-map landmarks whose track died are projected with the new KF
+        # pose and re-associated to the mutual-nearest fresh detection inside
+        # a tight box.  ≠ descriptor gate -> the window BA's 3 px
+        # reprojection gate is the verifier (a false match within the box of
+        # an already-triangulated landmark is geometrically consistent or
+        # gets culled as an outlier next backend step).
+        dead = window.lmk_mask & ~tracks.valid[0]
+        uv_prj, vis_p = cameras.project_world(
+            cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
+        )
+        M = uv_det.shape[0]
+        d2 = jnp.sum((uv_prj[:, None] - uv_det[None, :]) ** 2, -1)  # (L,M)
+        gate = (dead & vis_p)[:, None] & v_det[None, :] & (d2 < 25.0)
+        d2g = jnp.where(gate, d2, jnp.inf)
+        bestd = jnp.argmin(d2g, axis=1)  # best detection per landmark
+        bestl = jnp.argmin(d2g, axis=0)  # best landmark per detection
+        hit = (jnp.min(d2g, axis=1) < jnp.inf) & (bestl[bestd] == jnp.arange(L))
+        uv0_base = jnp.where(hit[:, None], uv_det[bestd], tracks.uv[0])
+        v0_base = tracks.valid[0] | hit
+        # consume matched detections so they don't also fill free slots
+        v_det = v_det & ~jnp.zeros_like(v_det).at[
+            jnp.where(hit, bestd, M)
+        ].set(True, mode="drop")
+        window = window.replace(
+            lmk_flags=jnp.where(hit, window.lmk_flags | LMK_RESURRECTED,
+                                window.lmk_flags)
+        )
+
+        free = ~(v0_base | window.lmk_mask)  # (L,)
         det_rank = jnp.cumsum(v_det) - 1
         n_free = jnp.sum(free)
         # assign detection d -> the (det_rank[d])-th free slot
         free_slots = jnp.nonzero(free, size=L, fill_value=L - 1)[0]
         take = v_det & (det_rank < n_free)
         slot_of_det = jnp.where(take, free_slots[jnp.clip(det_rank, 0, L - 1)], L)
-        new_uv0 = tracks.uv[0].at[slot_of_det].set(uv_det, mode="drop")
-        new_v0 = tracks.valid[0].at[slot_of_det].set(True, mode="drop")
+        new_uv0 = uv0_base.at[slot_of_det].set(uv_det, mode="drop")
+        new_v0 = v0_base.at[slot_of_det].set(True, mode="drop")
 
         # 2. stereo track cam0 -> cam1 (trackFeatures cam0->cam1)
         uv1, ok1, _ = klt.track(
@@ -541,6 +577,22 @@ class StereoSLAM:
         out["is_kf"] = True
         K = self.caps.K
         if self.n_kf >= K:
+            # archive the leaving KF (GlobalMap::addFrame role); optionally
+            # condense its links to the next KF into an NFR pose-graph edge
+            self.archived_kf.append((
+                float(self.window.ts[0]), np.asarray(self.window.R[0]),
+                np.asarray(self.window.t[0]),
+            ))
+            if self.cfg.pose_graph:
+                dx_e, inf_e, n_sh = marg.marginalize_relative(
+                    self.window, self.obs, self.rig, self.imu,
+                    self._ba_opts, vio=self.vio,
+                )
+                if int(n_sh) > 0:
+                    self.pose_graph_edges.append((
+                        float(self.window.ts[0]), float(self.window.ts[1]),
+                        np.asarray(dx_e), np.asarray(inf_e),
+                    ))
             (self.window, self.obs, self.imu, self.priors, self.tracks) = self._marg_roll(
                 self.window, self.obs, self.imu, self.priors, self.tracks, self.vio
             )

@@ -111,3 +111,122 @@ def test_shift_priors():
     assert not bool(shifted.sp_mask[1])
     np.testing.assert_allclose(np.asarray(shifted.sp_t[0]), [1.0, 2.0, 3.0])
     assert (np.asarray(shifted.plp_frame) == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# marginalizeRelative (NFR pose-graph edge) + Motion2D factor
+# ---------------------------------------------------------------------------
+
+
+def _shared_two_frame_world(rng):
+    """World where a subset of landmarks is co-observed by KF0 and KF1 only."""
+    gt, obs, rig = make_world(rng)
+    mask = np.asarray(obs.mask).copy()
+    mask[2:] = False          # only the first two KFs participate
+    mask[:, :, 24:] = False   # 24 shared landmarks
+    obs = obs.replace(mask=jnp.asarray(mask))
+    return gt, obs, rig
+
+
+def test_marginalize_relative_matches_dense_gauge_fixed(rng):
+    """NFR information == covariance of the relative pose in an independently
+    built gauge-fixed dense MLE problem (frame0 clamped, autodiff end-to-end).
+    """
+    gt, obs, rig = _shared_two_frame_world(rng)
+    opts = ba.BAOptions()
+    dx_meas, inf, n_shared = marg.marginalize_relative(
+        gt, obs, rig, ImuChain.create(K), opts, vio=False
+    )
+    assert int(n_shared) == 24
+    np.testing.assert_allclose(
+        np.asarray(dx_meas),
+        np.asarray(geo.pose_local(gt.R[0], gt.t[0], gt.R[1], gt.t[1])),
+        atol=1e-6,
+    )
+
+    # dense reference: variables [dx1(6), dp_l (3 per shared lmk)], frame0 fixed
+    shared = np.where(np.asarray(jnp.any(obs.mask[0], 0) & jnp.any(obs.mask[1], 0)))[0]
+    nL = len(shared)
+
+    from sadvio_tpu.models import cameras as cam_mod
+
+    def residuals(z):
+        d1 = z[:6]
+        dp = z[6:].reshape(nL, 3)
+        R1, t1 = geo.pose_retract(gt.R[1], gt.t[1], d1)
+        Rk = jnp.stack([gt.R[0], R1])
+        tk = jnp.stack([gt.t[0], t1])
+        p = gt.lmk[jnp.asarray(shared)] + dp
+        out = []
+        for k in range(2):
+            for c in range(C):
+                cam_c = jax.tree.map(lambda x: x[c], rig.cam)
+                uv, _ = cam_mod.project_world(
+                    cam_c, Rk[k], tk[k], rig.R_f_s[c], rig.t_f_s[c], p
+                )
+                r = (obs.uv[k, c, jnp.asarray(shared)] - uv) / opts.sigma_px
+                m = obs.mask[k, c, jnp.asarray(shared)]
+                out.append(jnp.where(m[:, None], r, 0.0).reshape(-1))
+        return jnp.concatenate(out)
+
+    z0 = jnp.zeros((6 + 3 * nL,), jnp.float32)
+    J = jax.jacfwd(residuals)(z0)
+    H = np.asarray(J.T @ J).astype(np.float64)
+    Sigma11 = np.linalg.inv(H)[:6, :6]
+
+    # map through the relative-pose residual Jacobian wrt dx1 (dx0 fixed)
+    def rel(d1):
+        R1, t1 = geo.pose_retract(gt.R[1], gt.t[1], d1)
+        from sadvio_tpu.backend import factors as F
+        return F.relative_pose_residual(gt.R[0], gt.t[0], R1, t1, dx_meas, jnp.eye(6))
+
+    J1 = np.asarray(jax.jacfwd(rel)(jnp.zeros((6,), jnp.float32))).astype(np.float64)
+    inf_ref = np.linalg.inv(J1 @ Sigma11 @ J1.T)
+
+    inf = np.asarray(inf)
+    scale = np.abs(inf_ref).max()
+    np.testing.assert_allclose(inf / scale, inf_ref / scale, atol=3e-2)
+
+
+def test_marginalize_relative_vio_smoke(rng):
+    """VIO variant: adding the IMU factor only adds information (PSD gain)."""
+    gt, obs, rig = _shared_two_frame_world(rng)
+    opts = ba.BAOptions()
+    imu_chain = ImuChain.create(K)
+    imu_chain = imu_chain.replace(mask=imu_chain.mask.at[0].set(True))
+    _, inf_vo, _ = marg.marginalize_relative(gt, obs, rig, ImuChain.create(K), opts, vio=False)
+    _, inf_vio, _ = marg.marginalize_relative(gt, obs, rig, imu_chain, opts, vio=True)
+    inf_vo, inf_vio = np.asarray(inf_vo, np.float64), np.asarray(inf_vio, np.float64)
+    np.testing.assert_allclose(inf_vio, inf_vio.T, atol=1e-2 * np.abs(inf_vio).max())
+    assert np.linalg.eigvalsh(inf_vio).min() > -1e-3 * np.abs(inf_vio).max()
+
+
+def test_motion2d_factor(rng):
+    """Motion2DFactor semantics: zero at exact planar motion, sensitive to
+    deviation, full-rank Jacobian (residuals.hpp:10-69)."""
+    from sadvio_tpu.backend import factors as F
+
+    v, wz, dt = 1.3, 0.4, 0.5
+    R_i = geo.so3_exp(jnp.asarray([0.0, 0.0, 0.7]))
+    t_i = jnp.asarray([2.0, -1.0, 0.0])
+    dth = wz * dt
+    Rd = geo.so3_exp(jnp.asarray([0.0, 0.0, dth]))
+    td = jnp.asarray([v * dt, 0.0, 0.0])
+    R_j, t_j = geo.pose_compose(R_i, t_i, Rd, td)
+
+    m2d = jnp.asarray([v, wz])
+    W = jnp.eye(6)
+    r = F.motion2d_residual(R_i, t_i, R_j, t_j, m2d, dt, W)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-5)
+
+    R_j2, t_j2 = geo.pose_retract(R_j, t_j, jnp.asarray([0.0, 0.01, 0.0, 0.0, 0.0, 0.02]))
+    r2 = F.motion2d_residual(R_i, t_i, R_j2, t_j2, m2d, dt, W)
+    assert np.linalg.norm(np.asarray(r2)) > 1e-3
+
+    def rfun(dx):
+        Ra, ta = geo.pose_retract(R_i, t_i, dx[:6])
+        Rb, tb = geo.pose_retract(R_j, t_j, dx[6:])
+        return F.motion2d_residual(Ra, ta, Rb, tb, m2d, dt, W)
+
+    J = np.asarray(jax.jacfwd(rfun)(jnp.zeros((12,))))
+    assert np.linalg.matrix_rank(J) == 6
