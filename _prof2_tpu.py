@@ -1,3 +1,7 @@
+"""Per-frame latency probe on the real (tunneled) TPU chip.
+
+Mimics StereoSLAM.run()'s prefetch loop: the next frame's H2D transfer is
+enqueued before the current frame's blocking fetch."""
 import time
 import numpy as np
 import jax
@@ -12,9 +16,18 @@ cfg = SLAMConfig(slam_mode="bimonovio", max_kf_number=10, min_lmk_number=40,
                  marginalization=True, sparsification=True,
                  caps=Capacities(K=11, L=512, P=48, pyr_levels=4, klt_radius=5))
 slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
-for i, f in enumerate(world.frames):
+frames = world.frames
+pending = slam._upload_images(frames[0])
+lat = []
+for i, f in enumerate(frames):
     t0 = time.perf_counter()
-    out = slam.process_frame(f)
+    nxt = slam._upload_images(frames[i + 1]) if i + 1 < len(frames) else None
+    out = slam.process_frame(f, images_dev=pending)
+    pending = nxt
     dt = (time.perf_counter() - t0) * 1000
     if i >= 10:
+        lat.append((dt, bool(out.get("is_kf"))))
         print(f"f{i}: {dt:.0f} ms  kf={out.get('is_kf')}")
+nk = [d for d, k in lat if not k]
+kf = [d for d, k in lat if k]
+print(f"median non-KF: {np.median(nk):.0f} ms  median KF: {np.median(kf) if kf else float('nan'):.0f} ms")

@@ -1,35 +1,51 @@
-import time, numpy as np, jax, jax.numpy as jnp
+"""Stage-level latency breakdown of one frame on the tunneled TPU."""
+import time
+import numpy as np
+import jax
 from sadvio_tpu.pipeline import synthetic
-from sadvio_tpu.frontend import klt, pnp, epipolar
-from sadvio_tpu.models import cameras
+from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
+from sadvio_tpu.pipeline.slam import StereoSLAM
 
-world = synthetic.make_world(seed=5, n_frames=3, width=752, height=480, n_points=400)
-rig = world.rig
-img0 = jnp.asarray(world.frames[0].images[0])
-img1 = jnp.asarray(world.frames[1].images[0])
-L = 512
-rng = np.random.default_rng(0)
-uv = jnp.asarray(rng.uniform(50, 400, (L, 2)).astype(np.float32))
-valid = jnp.ones((L,), bool)
+world = synthetic.make_world(seed=5, n_frames=30, width=752, height=480,
+                             n_points=400, imu_noise=True)
+cfg = SLAMConfig(slam_mode="bimonovio", max_kf_number=10, min_lmk_number=40,
+                 max_movement_parallax=1.0, min_movement_parallax=0.02,
+                 caps=Capacities(K=11, L=512, P=48, pyr_levels=4, klt_radius=5))
+slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
+for f in world.frames[:12]:
+    slam.process_frame(f)
 
-def bench(name, fn, *args, n=10):
-    out = fn(*args); jax.block_until_ready(out)
-    t0 = time.perf_counter()
+f = world.frames[12]
+T = lambda: time.perf_counter()
+t0 = T(); dev = slam._upload_images(f); t1 = T()
+jax.block_until_ready(dev); t2 = T()
+slam._accumulate_imu(f); t3 = T()
+pyr = slam._pyramids(dev); t4 = T()
+Rp, tp, vp = slam._predict_pose(f); t5 = T()
+tr, Rn, tn, health = slam._frontend(slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, slam._next_key()); t6 = T()
+h = np.asarray(health); t7 = T()
+h2 = np.asarray(health); t8 = T()
+print(f"upload(enqueue): {(t1-t0)*1e3:.1f} ms")
+print(f"upload(sync):    {(t2-t1)*1e3:.1f} ms")
+print(f"accum_imu:       {(t3-t2)*1e3:.1f} ms")
+print(f"pyramids disp:   {(t4-t3)*1e3:.1f} ms")
+print(f"predict disp:    {(t5-t4)*1e3:.1f} ms")
+print(f"frontend disp:   {(t6-t5)*1e3:.1f} ms")
+print(f"health fetch:    {(t7-t6)*1e3:.1f} ms")
+print(f"refetch(cached): {(t8-t7)*1e3:.1f} ms")
+
+# pure device execution times (block on outputs, no fetch)
+import jax
+def timed(label, fn, *a, n=3, **k):
+    fn(*a, **k)  # warm
+    ts = []
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    print(f"{name}: {(time.perf_counter()-t0)/n*1000:.1f} ms")
+        t0 = T(); r = fn(*a, **k); jax.block_until_ready(r); ts.append((T()-t0)*1e3)
+    print(f"{label}: {np.median(ts):.1f} ms")
+    return r
 
-pyr0 = jax.jit(lambda im: tuple(klt.build_pyramid(im, 4)))(img0)
-pyr1 = jax.jit(lambda im: tuple(klt.build_pyramid(im, 4)))(img1)
-jax.block_until_ready(pyr0)
-
-for up in (True, False):
-    f = jax.jit(lambda p0, p1, u, v: klt.track(p0, p1, u, u, v, levels=4, radius=5, use_pallas=up))
-    bench(f"klt.track pallas={up}", f, pyr0, pyr1, uv, valid)
-
-cam0 = jax.tree.map(lambda x: x[0] if jnp.ndim(x) > 0 else x, rig.cam)
-lmk = jnp.asarray(rng.uniform(-3, 3, (L, 3)).astype(np.float32) + [0, 0, 6])
-uvp, vis = cameras.project_world(cam0, jnp.eye(3), jnp.zeros(3), rig.R_f_s[0], rig.t_f_s[0], lmk)
-fpnp = jax.jit(lambda l, u, v, k: pnp.pnp_ransac(cam0, rig.R_f_s[0], rig.t_f_s[0], l, u, v, jnp.eye(3), jnp.zeros(3), k))
-bench("pnp_ransac", fpnp, lmk, uvp, vis, jax.random.PRNGKey(0))
+dev2 = slam._upload_images(f); jax.block_until_ready(dev2)
+pyr2 = timed("pyramids exec", slam._pyramids, dev2)
+timed("frontend exec", slam._frontend, slam.kf_pyr, pyr2, slam.tracks, slam.window, Rp, tp, slam._next_key())
+from sadvio_tpu.frontend import klt as kltm, pnp as pnpm
+timed("klt exec", kltm.track, slam.kf_pyr[0], pyr2[0], slam.tracks.uv_kf[0], slam.tracks.uv[0], slam.tracks.valid[0], levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius, use_pallas=slam.use_pallas)

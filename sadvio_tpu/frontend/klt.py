@@ -23,14 +23,40 @@ from sadvio_tpu.frontend.detect import bilinear_sample
 
 
 def build_pyramid(img, levels: int = 3):
-    """List of images, level 0 = full res; 2x2 average-pool downsampling."""
+    """List of images, level 0 = full res; 2x2 average-pool downsampling.
+
+    Sub-levels are edge-padded up to the Pallas LK window (32, 256) so the
+    whole pyramid tracks on the kernel path (a 256-lane window with 128-lane
+    DMA snapping is the minimum that keeps >=64 lanes of margin around the
+    feature).  Level 0 is never padded; true sub-level dims are recomputed
+    from level 0 by the consumers (pyramid_dims)."""
     pyr = [img]
     for _ in range(levels - 1):
         x = pyr[-1]
         H, W = x.shape
         x = x[: H - H % 2, : W - W % 2].reshape(H // 2, 2, W // 2, 2).mean((1, 3))
         pyr.append(x)
-    return pyr
+    out = [pyr[0]]
+    for x in pyr[1:]:
+        H, W = x.shape
+        ph, pw = max(32 - H, 0), max(256 - W, 0)
+        # edge replicate via broadcast+concat (jnp.pad mode="edge" lowers to
+        # a slower gather on TPU)
+        if pw:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[:, -1:], (H, pw))], 1)
+        if ph:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (ph, x.shape[1]))], 0)
+        out.append(x)
+    return out
+
+
+def pyramid_dims(shape0, levels: int):
+    """True (H, W) of each pyramid level given the level-0 shape."""
+    dims = [tuple(shape0)]
+    for _ in range(levels - 1):
+        h, w = dims[-1]
+        dims.append(((h - h % 2) // 2, (w - w % 2) // 2))
+    return dims
 
 
 def _patch_coords(radius: int):
@@ -43,43 +69,79 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     """Per-feature warped template patch, gradients and 2x2 normal matrix.
 
     Returns T/gx/gy (N,S,S), nrm (N,4)=[a,b,c,inv_det], good_grad (N,).
-    Runs once per frame (cheap); the per-iteration sampling is what the
-    Pallas path accelerates.
+
+    ONE bilinear gather of an (S+2)^2 halo patch per feature; gradients are
+    central differences of the warped patch itself.  The warped grid has
+    target-pixel spacing along its axes, so differences along patch axes ARE
+    the target-coordinate derivatives IC-LK needs (dT/du = nabla I0 . A e_u)
+    -- this replaces the previous 5 gather passes (T, +-x, +-y) with 1 at
+    identical semantics (0.5 px central steps -> 1.0 px central steps).
     """
-    offs = _patch_coords(radius)  # (S^2,2)
     S = 2 * radius + 1
+    rh = radius + 1
+    r = jnp.arange(-rh, rh + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(r, r, indexing="ij")
+    offs2 = jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # ((S+2)^2,2)
+    Sh = S + 2
+    H, W = img0.shape
+    # per-feature aligned window sized for a scale<=2 warped halo patch;
+    # warps beyond that are rejected upstream (track()'s det gate)
+    WS = min(2 * (2 * rh + 2) + 2, H, W)
 
-    def one(uv0_i, A_i):
-        pts = uv0_i[None] + offs @ A_i.T
-        T = bilinear_sample(img0, pts)
-        ex = A_i @ jnp.array([0.5, 0.0])
-        ey = A_i @ jnp.array([0.0, 0.5])
-        gx = bilinear_sample(img0, pts + ex) - bilinear_sample(img0, pts - ex)
-        gy = bilinear_sample(img0, pts + ey) - bilinear_sample(img0, pts - ey)
-        a = jnp.sum(gx * gx)
-        b = jnp.sum(gx * gy)
-        c = jnp.sum(gy * gy)
-        det = a * c - b * b
-        tr = a + c
-        eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-        good_grad = eig_min / offs.shape[0] > min_eig
-        inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
-        nrm = jnp.stack([a, b, c, inv_det])
-        return T.reshape(S, S), gx.reshape(S, S), gy.reshape(S, S), nrm, good_grad
+    # TPU-idiomatic sampling: one aligned dynamic-slice window per feature,
+    # then bilinear interpolation as a dense one-hot weight matrix times the
+    # flattened window -- an einsum the MXU executes, instead of (S+2)^2
+    # scattered HBM gathers per feature.
+    pts = uv0[:, None, :] + jnp.einsum("sj,nij->nsi", offs2, warp)
+    base = jnp.floor(jnp.min(pts, axis=1)) - 1.0
+    base = jnp.clip(base, 0.0, jnp.asarray([W - WS, H - WS], jnp.float32))
+    bi = base.astype(jnp.int32)
+    wins = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(img0, (b[1], b[0]), (WS, WS))
+    )(bi).reshape(-1, WS * WS)
 
-    return jax.vmap(one)(uv0, warp)
+    loc = pts - base[:, None, :]
+    ix = jnp.floor(loc[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(loc[..., 1]).astype(jnp.int32)
+    fx = loc[..., 0] - ix.astype(jnp.float32)
+    fy = loc[..., 1] - iy.astype(jnp.float32)
+    ix = jnp.clip(ix, 0, WS - 2)
+    iy = jnp.clip(iy, 0, WS - 2)
+    k00 = iy * WS + ix
+    oh = (
+        jax.nn.one_hot(k00, WS * WS) * ((1 - fx) * (1 - fy))[..., None]
+        + jax.nn.one_hot(k00 + 1, WS * WS) * (fx * (1 - fy))[..., None]
+        + jax.nn.one_hot(k00 + WS, WS * WS) * ((1 - fx) * fy)[..., None]
+        + jax.nn.one_hot(k00 + WS + 1, WS * WS) * (fx * fy)[..., None]
+    )
+    P = jnp.einsum("nsk,nk->ns", oh, wins).reshape(-1, Sh, Sh)
+
+    T = P[:, 1:-1, 1:-1]
+    gx = 0.5 * (P[:, 1:-1, 2:] - P[:, 1:-1, :-2])
+    gy = 0.5 * (P[:, 2:, 1:-1] - P[:, :-2, 1:-1])
+    a = jnp.sum(gx * gx, axis=(1, 2))
+    b = jnp.sum(gx * gy, axis=(1, 2))
+    c = jnp.sum(gy * gy, axis=(1, 2))
+    det = a * c - b * b
+    tr = a + c
+    eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+    good_grad = eig_min / (S * S) > min_eig
+    inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
+    nrm = jnp.stack([a, b, c, inv_det], axis=-1)
+    return T, gx, gy, nrm, good_grad
 
 
 def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
-                 min_eig: float, use_pallas: bool = False):
+                 min_eig: float, true_hw=None, use_pallas: bool = False):
     """One pyramid level of IC-LK for all features. uv in this level's scale.
 
     ``warp`` (N,2,2) maps target-patch offsets to template-patch offsets
     (SVO-style affine reference-patch warp).  It is dimensionless, so the
     same matrix applies at every pyramid level.  Identity = classic LK.
-    """
+    ``true_hw``: unpadded level dims for the in-bounds gate (images may be
+    edge-padded for the Pallas window, see build_pyramid)."""
     T, gx, gy, nrm, good_grad = _templates(img0, uv0, warp, radius, min_eig)
-    H, W = img1.shape
+    H, W = true_hw if true_hw is not None else img1.shape
     S = 2 * radius + 1
 
     if use_pallas:
@@ -146,6 +208,8 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
         jnp.stack([-warp[:, 1, 0], warp[:, 0, 0]], -1),
     ], -2) / jnp.where(good_w, det, 1.0)[:, None, None]
 
+    dims = pyramid_dims(pyr0[0].shape, levels)
+
     def run(pa, pb, uv_a, uv_b0, A):
         uv = uv_b0 / (2 ** (levels - 1))
         ok = jnp.ones(uv_a.shape[0], bool)
@@ -154,11 +218,12 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
             s = 2.0 ** lvl
             H_l, W_l = pb[lvl].shape
             # the Pallas window kernel needs the level image to contain one
-            # full (WIN_Y, WIN_X) window; tiny coarse levels use the XLA path
+            # full (WIN_Y, WIN_X) window; build_pyramid pads sub-levels up to
+            # it, so this gate only trips for pyramids built elsewhere
             pallas_l = use_pallas and H_l >= 32 and W_l >= 256
             uv, ok_l, err = _track_level(
                 pa[lvl], pb[lvl], uv_a / s, uv, A, radius, iters, min_eig,
-                use_pallas=pallas_l,
+                true_hw=dims[lvl], use_pallas=pallas_l,
             )
             ok = ok & ok_l
             if lvl > 0:

@@ -161,6 +161,7 @@ class MonoSLAM(StereoSLAM):
         self.n_kf = 2
         self.R_cur, self.t_cur = R1, t1
         self.initialized = True
+        self.kf_ts = [b["ts0"], frame.ts]
         self.kf_traj.append((b["ts0"], np.eye(3), np.zeros(3)))
         self.kf_traj.append((frame.ts, np.asarray(R1), np.asarray(t1)))
         # window BA to polish the two-view map
@@ -278,16 +279,22 @@ class MonoSLAM(StereoSLAM):
     # frame loop: mono bootstrap + optional VIInit
     # ------------------------------------------------------------------
 
-    def process_frame(self, frame) -> dict:
-        if self.vio:
-            self._accumulate_imu(frame)
-        out = {"ts": frame.ts, "is_kf": False, "ok": True}
+    def process_frame(self, frame, images_dev=None) -> dict:
         if not self.initialized:
-            pyr_new = self._pyramids(jnp.asarray(frame.images))
+            # bootstrap branch handles its own IMU accumulation; once
+            # initialized, super().process_frame accumulates (accumulating in
+            # both would preintegrate every sample twice)
+            if self.vio:
+                self._accumulate_imu(frame)
+            out = {"ts": frame.ts, "is_kf": False, "ok": True}
+            if images_dev is None:
+                images_dev = self._upload_images(frame)
+            pyr_new = self._pyramids(images_dev)
             out["is_kf"] = self._try_bootstrap(frame, pyr_new)
-            self.traj.append((frame.ts, np.asarray(self.R_cur), np.asarray(self.t_cur)))
+            pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
+            self.traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))
             return out
-        out = super().process_frame(frame)
+        out = super().process_frame(frame, images_dev=images_dev)
         if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
             self._run_vi_init()
         return out

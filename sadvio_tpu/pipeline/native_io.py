@@ -86,8 +86,10 @@ class NativeEurocProvider:
             if ts < 0:
                 return
             m = imu[: ni.value]
+            # real PNG imagery -> uint8 on the wire (see euroc.py frames())
             yield FrameData(
-                ts=float(ts), images=np.stack([img0, img1]),
+                ts=float(ts),
+                images=np.clip(np.stack([img0, img1]), 0, 255).astype(np.uint8),
                 gyr=m[:, 1:4].astype(np.float32),
                 acc=m[:, 4:7].astype(np.float32),
                 dt=m[:, 0].astype(np.float32),

@@ -83,8 +83,8 @@ class NoFovSLAM(MonoSLAM):
         # is tn -> multiplicative map-scale correction
         return float(s) / tn
 
-    def process_frame(self, frame) -> dict:
-        out = super().process_frame(frame)
+    def process_frame(self, frame, images_dev=None) -> dict:
+        out = super().process_frame(frame, images_dev=images_dev)
         if not self.initialized:
             return out
         if out.get("is_kf"):
@@ -101,7 +101,7 @@ class NoFovSLAM(MonoSLAM):
             val = jnp.zeros((L,), bool).at[:n].set(v_det[:n])
             self.kf_uv1 = (uv_kf, val)
         elif out.get("pnp_ok") and self.n_kf >= 2 and not self.scale_state["applied"]:
-            pyr_new = self._pyramids(jnp.asarray(frame.images))
+            pyr_new = self._pyramids(self._upload_images(frame))
             ratio = self._estimate_scale(pyr_new, self.R_cur, self.t_cur)
             if ratio is not None and np.isfinite(ratio) and 0.05 < ratio < 20.0:
                 # rescale the whole map once (the reference keeps refining

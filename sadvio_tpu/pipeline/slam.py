@@ -102,6 +102,8 @@ class StereoSLAM:
         self.n_resets = 0  # re-initialization count (failure recovery)
         self.traj = []  # (ts, R, t) at frame rate
         self.kf_traj = []
+        self.kf_ts = []  # host mirror of active window-slot timestamps
+        self._have_priors = False  # host mirror of any(priors.sp_mask)
         # global archive of marginalized KFs (GlobalMap::addFrame role,
         # globalmap.cpp:5) + optional NFR pose-graph edges (marginalizeRelative)
         self.archived_kf = []  # (ts, R, t) host-side append-only log
@@ -136,10 +138,30 @@ class StereoSLAM:
 
     @partial(jax.jit, static_argnames=("self",))
     def _pyramids(self, images):
+        # images arrive uint8 (4x less tunnel H2D than f32, ~23 ms/frame on
+        # the tunneled chip); all pyramid math is f32 on device
+        images = images.astype(jnp.float32)
         return tuple(
             tuple(klt.build_pyramid(images[c], self.caps.pyr_levels))
             for c in range(self.C)
         )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _pack_pose(self, R, t):
+        """12-float pose pack: ONE device->host fetch instead of two."""
+        return jnp.concatenate([R.reshape(-1), t])
+
+    def _upload_images(self, frame):
+        """Host->device image transfer in the provider's dtype.
+
+        Tunnel H2D is a per-frame bottleneck (~24 MB/s measured), so
+        real-image providers should emit uint8 (4x less wire than f32;
+        camera data is 8-bit anyway).  Float renders are shipped exactly:
+        re-quantizing a smooth synthetic image erases the sub-intensity
+        gradients the mono-bootstrap essential matrix needs.  run()'s
+        prefetch overlaps the transfer with the previous frame's compute
+        either way."""
+        return jnp.asarray(frame.images)
 
     @partial(jax.jit, static_argnames=("self",))
     def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred, t_pred, key):
@@ -247,12 +269,16 @@ class StereoSLAM:
         n_trk = jnp.sum(ok)
         parallax = jnp.sum(jnp.where(ok, par, 0.0)) / jnp.maximum(n_trk, 1)
         n_lmk_trk = jnp.sum(ok & tracks.has3d & window.lmk_mask)
-        # health scalars packed into one array: the host fetches them with a
-        # single device->host transfer (each separate bool()/float() costs a
-        # full RPC round trip on tunneled devices)
-        health = jnp.stack([
-            pnp_ok.astype(jnp.float32), parallax,
-            n_trk.astype(jnp.float32), n_lmk_trk.astype(jnp.float32),
+        # health scalars + the new pose packed into one array: the host
+        # fetches everything this frame needs with a single device->host
+        # transfer (each separate bool()/float()/np.asarray costs a full
+        # ~29 ms RPC round trip on tunneled devices)
+        health = jnp.concatenate([
+            jnp.stack([
+                pnp_ok.astype(jnp.float32), parallax,
+                n_trk.astype(jnp.float32), n_lmk_trk.astype(jnp.float32),
+            ]),
+            R_new.reshape(-1), t_new,
         ])
         return tracks, R_new, t_new, health
 
@@ -512,11 +538,17 @@ class StereoSLAM:
         # R_w_f maps body accel direction onto +z
         return geo.so3_exp(jnp.asarray(w, jnp.float32)).T
 
-    def process_frame(self, frame) -> dict:
-        """One camera frame (+ the IMU batch since the previous frame)."""
+    def process_frame(self, frame, images_dev=None) -> dict:
+        """One camera frame (+ the IMU batch since the previous frame).
+
+        images_dev: optional pre-uploaded device copy of frame.images (run()
+        prefetches the next frame's upload to overlap the tunnel H2D with the
+        current frame's compute)."""
         if self.vio:
             self._accumulate_imu(frame)
-        pyr_new = self._pyramids(jnp.asarray(frame.images))
+        if images_dev is None:
+            images_dev = self._upload_images(frame)
+        pyr_new = self._pyramids(images_dev)
 
         out = {"ts": frame.ts, "is_kf": False, "ok": True}
         if not self.initialized:
@@ -532,6 +564,7 @@ class StereoSLAM:
             self._imu_n = 0
             self.kf_pyr = pyr_new
             self.initialized = True
+            self.kf_ts.append(frame.ts)
             self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
             self.traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
             out["is_kf"] = True
@@ -542,19 +575,23 @@ class StereoSLAM:
             self.kf_pyr, pyr_new, self.tracks, self.window,
             R_pred, t_pred, self._next_key(),
         )
-        health_h = np.asarray(health)  # ONE device->host fetch
+        health_h = np.asarray(health)  # ONE device->host fetch (health + pose)
         pnp_ok_h = bool(health_h[0] > 0.5)
+        R_h = health_h[4:13].reshape(3, 3).copy()
+        t_h = health_h[13:16].copy()
         if not pnp_ok_h:
             self.successive_fails += 1
             R_new, t_new = R_pred, t_pred  # dead-reckon (slamBiMonoVIO.cpp:429-443)
+            pk = np.asarray(self._pack_pose(R_pred, t_pred))
+            R_h, t_h = pk[:9].reshape(3, 3), pk[9:]
         else:
             self.successive_fails = 0
         # constant-velocity update
         Ri, ti = geo.pose_inverse(self.R_cur, self.t_cur)
         self.dT = geo.pose_compose(Ri, ti, R_new, t_new)
         self.R_cur, self.t_cur, self.v_cur = R_new, t_new, v_pred
-        self.traj.append((frame.ts, np.asarray(R_new), np.asarray(t_new)))
-        out["pose"] = (np.asarray(R_new), np.asarray(t_new))
+        self.traj.append((frame.ts, R_h, t_h))
+        out["pose"] = (R_h, t_h)
         out["pnp_ok"] = pnp_ok_h
         out["n_tracked"] = int(health_h[2])
         out["n_lmk_tracked"] = int(health_h[3])
@@ -578,11 +615,11 @@ class StereoSLAM:
         K = self.caps.K
         if self.n_kf >= K:
             # archive the leaving KF (GlobalMap::addFrame role); optionally
-            # condense its links to the next KF into an NFR pose-graph edge
-            self.archived_kf.append((
-                float(self.window.ts[0]), np.asarray(self.window.R[0]),
-                np.asarray(self.window.t[0]),
-            ))
+            # condense its links to the next KF into an NFR pose-graph edge.
+            # Timestamps come from the host-side mirror (a device ts fetch is
+            # a full RPC round trip); the pose is one packed fetch.
+            pk0 = np.asarray(self._pack_pose(self.window.R[0], self.window.t[0]))
+            self.archived_kf.append((self.kf_ts[0], pk0[:9].reshape(3, 3), pk0[9:]))
             if self.cfg.pose_graph:
                 dx_e, inf_e, n_sh = marg.marginalize_relative(
                     self.window, self.obs, self.rig, self.imu,
@@ -590,12 +627,15 @@ class StereoSLAM:
                 )
                 if int(n_sh) > 0:
                     self.pose_graph_edges.append((
-                        float(self.window.ts[0]), float(self.window.ts[1]),
+                        self.kf_ts[0], self.kf_ts[1],
                         np.asarray(dx_e), np.asarray(inf_e),
                     ))
             (self.window, self.obs, self.imu, self.priors, self.tracks) = self._marg_roll(
                 self.window, self.obs, self.imu, self.priors, self.tracks, self.vio
             )
+            if self.cfg.marginalization:
+                self._have_priors = True
+            self.kf_ts.pop(0)
             self.n_kf = K - 1
         slot = self.n_kf
         self.tracks, self.window, self.obs, self.imu = self._insert_kf(
@@ -604,14 +644,17 @@ class StereoSLAM:
             self._next_key(), slot,
         )
         self.n_kf += 1
+        self.kf_ts.append(frame.ts)
         self.kf_pyr = pyr_new
         self.pre_cur = imu_mod.Preintegration.identity().replace(
             ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
         )
         self._imu_n = 0
 
-        # back end (KF rate)
-        fixed_n = 1 if not self.cfg.marginalization or not jnp.any(self.priors.sp_mask) else 0
+        # back end (KF rate).  _have_priors is the host mirror of
+        # any(priors.sp_mask) -- checking the device mask here would cost a
+        # blocking RPC round trip every keyframe
+        fixed_n = 1 if not self._have_priors else 0
         fixed_n = max(fixed_n, self.cfg.fixed_frame_number if self.n_kf > 1 else 1)
         self.window, self.obs, stats = self._backend(
             self.window, self.obs, self.imu, self.priors, fixed_n
@@ -621,9 +664,8 @@ class StereoSLAM:
         self.t_cur = self.window.t[slot]
         self.v_cur = self.window.v[slot]
         self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
-        self.kf_traj.append(
-            (frame.ts, np.asarray(self.R_cur), np.asarray(self.t_cur))
-        )
+        pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
+        self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))
         out["ba_cost"] = float(stats["cost"])
 
         # densification at KF rate (mesher->addNewKF, slamBiMonoVIO.cpp:601-603;
@@ -651,6 +693,8 @@ class StereoSLAM:
         self.pre_cur = imu_mod.Preintegration.identity()
         self._imu_n = 0
         self.n_kf = 0
+        self.kf_ts = []
+        self._have_priors = False
         self.initialized = False
         self.successive_fails = 0
         self.n_resets += 1
@@ -674,10 +718,17 @@ class StereoSLAM:
             self._prof = prof
         import time as _time
 
-        for f in frames:
+        # prefetch pipeline: the next frame's image upload rides the tunnel
+        # while the current frame computes (device_put is async)
+        pending = self._upload_images(frames[0]) if frames else None
+        for i, f in enumerate(frames):
             if prof:
                 t0 = _time.perf_counter()
-            out = self.process_frame(f)
+            nxt = (
+                self._upload_images(frames[i + 1]) if i + 1 < len(frames) else None
+            )
+            out = self.process_frame(f, images_dev=pending)
+            pending = nxt
             if prof:
                 jax.block_until_ready(self.t_cur)
                 dt = _time.perf_counter() - t0

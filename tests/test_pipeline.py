@@ -166,3 +166,46 @@ def test_pose_graph_edges_and_archive(world):
     from sadvio_tpu.data.window import LMK_RESURRECTED
     flags = np.asarray(slam.window.lmk_flags)
     assert ((flags & ~(LMK_RESURRECTED | 0xFF)) == 0).all()
+
+
+def test_monovio_tracks_trajectory(world):
+    """Monocular VIO end-to-end: bootstrap, VIInit with scale, metric ATE.
+
+    Regression guard: MonoSLAM.process_frame used to accumulate the IMU
+    batch AND delegate to StereoSLAM.process_frame which accumulated it
+    again -- every sample preintegrated twice."""
+    from sadvio_tpu.pipeline.mono import MonoSLAM
+    from sadvio_tpu.data.window import Rig
+    import jax
+
+    rig1 = Rig(
+        cam=jax.tree.map(lambda x: x[:1] if hasattr(x, "ndim") and x.ndim > 0 else x,
+                         world.rig.cam),
+        R_f_s=world.rig.R_f_s[:1], t_f_s=world.rig.t_f_s[:1],
+    )
+    cfg = small_config("monovio")
+    slam = MonoSLAM(rig1, cfg, imu_params=world.imu_params, boot_parallax_deg=2.0)
+
+    class MonoFrame:
+        def __init__(self, f):
+            self.ts = f.ts
+            self.images = f.images[:1]
+            self.acc, self.gyr, self.dt = f.acc, f.gyr, f.dt
+
+    i0 = None
+    for i, f in enumerate(world.frames):
+        slam.process_frame(MonoFrame(f))
+        if i0 is None and slam.initialized:
+            i0 = i
+    assert slam.initialized, "monovio bootstrap never triggered"
+    est = np.asarray([t for _, _, t in slam.traj])[i0:]
+    # VIInit recovers metric scale from the IMU: allow Sim3 only for the
+    # alignment rotation, but check the raw scale is within 30% of truth
+    ate = synthetic.ate_rmse(est, world.gt_t[i0: i0 + len(est)], with_scale=True)
+    assert ate < 0.08, f"monovio ATE {ate:.4f} m"
+    if slam.vi_initialized:
+        span_est = np.linalg.norm(est[-1] - est[0])
+        span_gt = np.linalg.norm(world.gt_t[i0 + len(est) - 1] - world.gt_t[i0])
+        assert span_gt == 0 or 0.7 < span_est / max(span_gt, 1e-9) < 1.4, (
+            f"metric scale off: est span {span_est:.3f} vs gt {span_gt:.3f}"
+        )
