@@ -21,9 +21,9 @@ pending = slam._upload_images(frames[0])
 lat = []
 for i, f in enumerate(frames):
     t0 = time.perf_counter()
-    nxt = slam._upload_images(frames[i + 1]) if i + 1 < len(frames) else None
-    out = slam.process_frame(f, images_dev=pending)
-    pending = nxt
+    nxt_f = frames[i + 1] if i + 1 < len(frames) else None
+    out = slam.process_frame(f, images_dev=pending, prefetch_frame=nxt_f)
+    pending = slam._prefetched
     dt = (time.perf_counter() - t0) * 1000
     if i >= 10:
         lat.append((dt, bool(out.get("is_kf"))))

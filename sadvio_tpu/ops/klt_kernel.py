@@ -37,81 +37,99 @@ WIN_X = 256  # window cols (origin snapped to the 128-lane tiling; 2 tiles
 #              so the patch never sits at a tile boundary)
 
 
+FEATS = 8  # features per program: amortizes program startup + overlaps DMAs
+
+
 def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
                win, sem, *, S: int, iters: int, height: int, width: int):
-    """One feature: DMA window, run `iters` IC-LK updates, write uv + err."""
-    u0 = uv_ref[0, 0, 0]
-    v0 = uv_ref[0, 0, 1]
-    # window origin: tile-aligned (DMA slices must start on the (8,128)
-    # tiling), positioned so the feature keeps >=64 lanes / 8 rows of margin
-    ox = jnp.clip(
-        ((jnp.floor(u0).astype(jnp.int32) - 64) // 128) * 128,
-        0, (max(width - WIN_X, 0) // 128) * 128,
-    )
-    oy = jnp.clip(
-        ((jnp.floor(v0).astype(jnp.int32) - 16) // 8) * 8,
-        0, (max(height - WIN_Y, 0) // 8) * 8,
-    )
-    ox = pl.multiple_of(ox, 128)
-    oy = pl.multiple_of(oy, 8)
-    dma = pltpu.make_async_copy(
-        img_ref.at[pl.ds(oy, WIN_Y), pl.ds(ox, WIN_X)], win, sem
-    )
-    dma.start()
+    """FEATS features per program: pipelined window DMAs, then per-feature
+    IC-LK iteration loops out of VMEM.
 
-    T = T_ref[0]
-    gx = gx_ref[0]
-    gy = gy_ref[0]
-    a = nrm_ref[0, 0, 0]
-    b = nrm_ref[0, 0, 1]
-    c = nrm_ref[0, 0, 2]
-    inv_det = nrm_ref[0, 0, 3]
-    dma.wait()
-
+    One-feature-per-program spent most of its time in fixed per-program
+    overhead (4096 program instances per tracked frame); batching 8 features
+    starts all 8 window copies back-to-back so DMA latency overlaps the
+    compute of earlier features."""
     half = (S - 1) // 2
+    max_ox = (max(width - WIN_X, 0) // 128) * 128
+    max_oy = (max(height - WIN_Y, 0) // 8) * 8
 
-    def sample_patch(u, v):
-        """Bilinear (S,S) patch at window-local float position.
+    def origin(f):
+        # window origin: tile-aligned (DMA slices must start on the (8,128)
+        # tiling), positioned so the feature keeps >=64 lanes / 8 rows margin
+        u0 = uv_ref[f, 0, 0]
+        v0 = uv_ref[f, 0, 1]
+        ox = jnp.clip(((jnp.floor(u0).astype(jnp.int32) - 64) // 128) * 128,
+                      0, max_ox)
+        oy = jnp.clip(((jnp.floor(v0).astype(jnp.int32) - 16) // 8) * 8,
+                      0, max_oy)
+        return pl.multiple_of(ox, 128), pl.multiple_of(oy, 8)
 
-        Mosaic cannot vector-load at dynamic lane offsets, so the window is
-        circularly rolled (dynamic shift is supported) to put the patch's
-        integer corner at the origin, then sliced statically; the four
-        bilinear taps are static +-1 shifts of that rolled window.
-        """
-        lx = u - ox.astype(u.dtype) - half
-        ly = v - oy.astype(v.dtype) - half
-        ix = jnp.floor(lx).astype(jnp.int32)
-        iy = jnp.floor(ly).astype(jnp.int32)
-        fx = lx - ix.astype(u.dtype)
-        fy = ly - iy.astype(u.dtype)
-        ix = jnp.clip(ix, 0, WIN_X - S - 1)
-        iy = jnp.clip(iy, 0, WIN_Y - S - 1)
-        w = pltpu.roll(pltpu.roll(win[:], -ix, 1), -iy, 0)
-        p00 = w[:S, :S]
-        p01 = w[:S, 1 : S + 1]
-        p10 = w[1 : S + 1, :S]
-        p11 = w[1 : S + 1, 1 : S + 1]
-        return (
-            p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-            + p10 * (1 - fx) * fy + p11 * fx * fy
+    def dma_f(f, ox, oy):
+        return pltpu.make_async_copy(
+            img_ref.at[pl.ds(oy, WIN_Y), pl.ds(ox, WIN_X)],
+            win.at[f], sem.at[f],
         )
 
-    def body(_, uv):
-        u, v = uv
-        e = sample_patch(u, v) - T
-        bx = jnp.sum(e * gx)
-        by = jnp.sum(e * gy)
-        du = (c * bx - b * by) * inv_det
-        dv = (a * by - b * bx) * inv_det
-        return (u - du, v - dv)
+    origins = [origin(f) for f in range(FEATS)]
+    for f in range(FEATS):
+        dma_f(f, *origins[f]).start()
 
-    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+    for f in range(FEATS):
+        u0 = uv_ref[f, 0, 0]
+        v0 = uv_ref[f, 0, 1]
+        ox, oy = origins[f]
+        T = T_ref[f]
+        gx = gx_ref[f]
+        gy = gy_ref[f]
+        a = nrm_ref[f, 0, 0]
+        b = nrm_ref[f, 0, 1]
+        c = nrm_ref[f, 0, 2]
+        inv_det = nrm_ref[f, 0, 3]
+        dma_f(f, ox, oy).wait()
+        wref = win.at[f]
 
-    # final residual for the quality gate
-    err = jnp.mean(jnp.abs(sample_patch(u, v) - T))
-    out_ref[0, 0, 0] = u
-    out_ref[0, 0, 1] = v
-    out_ref[0, 0, 2] = err
+        def sample_patch(u, v):
+            """Bilinear (S,S) patch at window-local float position.
+
+            Mosaic cannot vector-load at dynamic lane offsets, so the window
+            is circularly rolled (dynamic shift is supported) to put the
+            patch's integer corner at the origin, then sliced statically;
+            the four bilinear taps are static +-1 shifts of that roll.
+            """
+            lx = u - ox.astype(u.dtype) - half
+            ly = v - oy.astype(v.dtype) - half
+            ix = jnp.floor(lx).astype(jnp.int32)
+            iy = jnp.floor(ly).astype(jnp.int32)
+            fx = lx - ix.astype(u.dtype)
+            fy = ly - iy.astype(u.dtype)
+            ix = jnp.clip(ix, 0, WIN_X - S - 1)
+            iy = jnp.clip(iy, 0, WIN_Y - S - 1)
+            w = pltpu.roll(pltpu.roll(wref[:], -ix, 1), -iy, 0)
+            p00 = w[:S, :S]
+            p01 = w[:S, 1 : S + 1]
+            p10 = w[1 : S + 1, :S]
+            p11 = w[1 : S + 1, 1 : S + 1]
+            return (
+                p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+                + p10 * (1 - fx) * fy + p11 * fx * fy
+            )
+
+        def body(_, uv):
+            u, v = uv
+            e = sample_patch(u, v) - T
+            bx = jnp.sum(e * gx)
+            by = jnp.sum(e * gy)
+            du = (c * bx - b * by) * inv_det
+            dv = (a * by - b * bx) * inv_det
+            return (u - du, v - dv)
+
+        u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+
+        # final residual for the quality gate
+        err = jnp.mean(jnp.abs(sample_patch(u, v) - T))
+        out_ref[f, 0, 0] = u
+        out_ref[f, 0, 1] = v
+        out_ref[f, 0, 2] = err
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
@@ -125,6 +143,15 @@ def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
     """
     N, S, _ = T.shape
     H, W = img1.shape
+    # pad the feature axis to a FEATS multiple (padded rows iterate on
+    # clipped windows and are discarded by the caller's slice)
+    F = FEATS
+    Np = ((N + F - 1) // F) * F
+    if Np != N:
+        padn = lambda x: jnp.concatenate(
+            [x, jnp.zeros((Np - N, *x.shape[1:]), x.dtype)]
+        )
+        uv_init, T, gx, gy, nrm = map(padn, (uv_init, T, gx, gy, nrm))
     kern = functools.partial(
         _lk_kernel, S=S, iters=iters, height=H, width=W
     )
@@ -132,21 +159,21 @@ def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
     # two block dims exactly match the array dims (TPU block-mapping rule)
     out = pl.pallas_call(
         kern,
-        grid=(N,),
+        grid=(Np // F,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, S, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # full image, DMA'd manually
         ],
-        out_specs=pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 1, 3), img1.dtype),
+        out_specs=pl.BlockSpec((F, 1, 3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, 1, 3), img1.dtype),
         scratch_shapes=[
-            pltpu.VMEM((WIN_Y, WIN_X), img1.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((F, WIN_Y, WIN_X), img1.dtype),
+            pltpu.SemaphoreType.DMA((F,)),
         ],
         interpret=interpret,
-    )(uv_init.reshape(N, 1, 2), T, gx, gy, nrm.reshape(N, 1, 4), img1)
-    return out.reshape(N, 3)
+    )(uv_init.reshape(Np, 1, 2), T, gx, gy, nrm.reshape(Np, 1, 4), img1)
+    return out.reshape(Np, 3)[:N]

@@ -279,7 +279,7 @@ class MonoSLAM(StereoSLAM):
     # frame loop: mono bootstrap + optional VIInit
     # ------------------------------------------------------------------
 
-    def process_frame(self, frame, images_dev=None) -> dict:
+    def process_frame(self, frame, images_dev=None, prefetch_frame=None) -> dict:
         if not self.initialized:
             # bootstrap branch handles its own IMU accumulation; once
             # initialized, super().process_frame accumulates (accumulating in
@@ -289,12 +289,17 @@ class MonoSLAM(StereoSLAM):
             out = {"ts": frame.ts, "is_kf": False, "ok": True}
             if images_dev is None:
                 images_dev = self._upload_images(frame)
+            self._prefetched = (
+                self._upload_images(prefetch_frame)
+                if prefetch_frame is not None else None
+            )
             pyr_new = self._pyramids(images_dev)
             out["is_kf"] = self._try_bootstrap(frame, pyr_new)
             pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
             self.traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))
             return out
-        out = super().process_frame(frame, images_dev=images_dev)
+        out = super().process_frame(frame, images_dev=images_dev,
+                                    prefetch_frame=prefetch_frame)
         if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
             self._run_vi_init()
         return out

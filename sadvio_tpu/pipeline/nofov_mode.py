@@ -83,8 +83,9 @@ class NoFovSLAM(MonoSLAM):
         # is tn -> multiplicative map-scale correction
         return float(s) / tn
 
-    def process_frame(self, frame, images_dev=None) -> dict:
-        out = super().process_frame(frame, images_dev=images_dev)
+    def process_frame(self, frame, images_dev=None, prefetch_frame=None) -> dict:
+        out = super().process_frame(frame, images_dev=images_dev,
+                                    prefetch_frame=prefetch_frame)
         if not self.initialized:
             return out
         if out.get("is_kf"):

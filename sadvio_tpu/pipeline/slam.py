@@ -104,6 +104,7 @@ class StereoSLAM:
         self.kf_traj = []
         self.kf_ts = []  # host mirror of active window-slot timestamps
         self._have_priors = False  # host mirror of any(priors.sp_mask)
+        self._prefetched = None  # next frame's device images (run() pipeline)
         # global archive of marginalized KFs (GlobalMap::addFrame role,
         # globalmap.cpp:5) + optional NFR pose-graph edges (marginalizeRelative)
         self.archived_kf = []  # (ts, R, t) host-side append-only log
@@ -492,7 +493,8 @@ class StereoSLAM:
     _IMU_CAP = 32  # padded per-frame sample capacity (one compiled shape)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _preint(self, acc, gyr, dt, pre):
+    def _preint(self, batch, pre):
+        acc, gyr, dt = batch[:, 0:3], batch[:, 3:6], batch[:, 6]
         return imu_mod.preintegrate(
             acc, gyr, dt, pre.ba_lin, pre.bg_lin, self.imu_params, init=pre)
 
@@ -511,14 +513,13 @@ class StereoSLAM:
         for k0 in range(0, n, cap):
             sl = slice(k0, min(k0 + cap, n))
             m = sl.stop - sl.start
-            acc = np.zeros((cap, 3), np.float32)
-            gyr = np.zeros((cap, 3), np.float32)
-            dt = np.zeros((cap,), np.float32)
-            acc[:m] = frame.acc[sl]
-            gyr[:m] = frame.gyr[sl]
-            dt[:m] = frame.dt[sl]
-            self.pre_cur = self._preint(
-                jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dt), self.pre_cur)
+            # one packed (cap,7) upload per batch instead of three transfers
+            # (each host->device copy queues separately on the tunnel)
+            batch = np.zeros((cap, 7), np.float32)
+            batch[:m, 0:3] = frame.acc[sl]
+            batch[:m, 3:6] = frame.gyr[sl]
+            batch[:m, 6] = frame.dt[sl]
+            self.pre_cur = self._preint(jnp.asarray(batch), self.pre_cur)
         self._imu_n += n
 
     def _gravity_align_init(self, frame):
@@ -538,16 +539,21 @@ class StereoSLAM:
         # R_w_f maps body accel direction onto +z
         return geo.so3_exp(jnp.asarray(w, jnp.float32)).T
 
-    def process_frame(self, frame, images_dev=None) -> dict:
+    def process_frame(self, frame, images_dev=None, prefetch_frame=None) -> dict:
         """One camera frame (+ the IMU batch since the previous frame).
 
-        images_dev: optional pre-uploaded device copy of frame.images (run()
-        prefetches the next frame's upload to overlap the tunnel H2D with the
-        current frame's compute)."""
+        images_dev: optional pre-uploaded device copy of frame.images.
+        prefetch_frame: the NEXT frame; its image upload is enqueued right
+        after this frame's small uploads, so the big transfer rides the
+        tunnel during this frame's compute instead of ahead of the next
+        frame's IMU batch.  The device copy is stored in self._prefetched."""
         if self.vio:
             self._accumulate_imu(frame)
         if images_dev is None:
             images_dev = self._upload_images(frame)
+        self._prefetched = (
+            self._upload_images(prefetch_frame) if prefetch_frame is not None else None
+        )
         pyr_new = self._pyramids(images_dev)
 
         out = {"ts": frame.ts, "is_kf": False, "ok": True}
@@ -719,16 +725,16 @@ class StereoSLAM:
         import time as _time
 
         # prefetch pipeline: the next frame's image upload rides the tunnel
-        # while the current frame computes (device_put is async)
+        # while the current frame computes (device_put is async); the enqueue
+        # happens inside process_frame AFTER its small IMU upload so the big
+        # transfer never queues ahead of the next frame's critical path
         pending = self._upload_images(frames[0]) if frames else None
         for i, f in enumerate(frames):
             if prof:
                 t0 = _time.perf_counter()
-            nxt = (
-                self._upload_images(frames[i + 1]) if i + 1 < len(frames) else None
-            )
-            out = self.process_frame(f, images_dev=pending)
-            pending = nxt
+            nxt_f = frames[i + 1] if i + 1 < len(frames) else None
+            out = self.process_frame(f, images_dev=pending, prefetch_frame=nxt_f)
+            pending = self._prefetched
             if prof:
                 jax.block_until_ready(self.t_cur)
                 dt = _time.perf_counter() - t0
