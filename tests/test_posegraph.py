@@ -1,0 +1,100 @@
+"""Pose-graph optimization over NFR relative edges.
+
+Classic loop-closure fixture: a drifting odometry chain plus one exact
+closure edge; GN should distribute the drift and close the loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sadvio_tpu.backend import posegraph
+from sadvio_tpu.utils import geometry as geo
+
+
+def _circle_poses(M, radius=5.0):
+    Rs, ts = [], []
+    for k in range(M):
+        th = 2 * np.pi * k / M
+        Rs.append(np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.0, th], jnp.float32))))
+        ts.append(np.asarray([radius * np.cos(th), radius * np.sin(th), 0.0], np.float32))
+    return jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts))
+
+
+def test_loop_closure_corrects_drift(rng):
+    M = 12
+    R_gt, t_gt = _circle_poses(M)
+
+    # exact odometry measurements between consecutive nodes + loop edge
+    ea = jnp.asarray(list(range(M - 1)) + [M - 1], jnp.int32)
+    eb = jnp.asarray(list(range(1, M)) + [0], jnp.int32)
+    dx = jax.vmap(lambda a, b: geo.pose_local(R_gt[a], t_gt[a], R_gt[b], t_gt[b]))(ea, eb)
+    W = jnp.broadcast_to(jnp.eye(6), (M, 6, 6))
+    mask = jnp.ones((M,), bool)
+
+    # initial guess: integrate odometry with injected per-step drift
+    Rs, ts = [np.asarray(R_gt[0])], [np.asarray(t_gt[0])]
+    for k in range(M - 1):
+        noise = jnp.asarray(rng.standard_normal(6) * 0.03, jnp.float32)
+        Rk, tk = geo.pose_retract(
+            *geo.pose_compose(jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]),
+                              geo.so3_exp(dx[k][:3]), dx[k][3:]),
+            noise,
+        )
+        Rs.append(np.asarray(Rk)); ts.append(np.asarray(tk))
+    R0 = jnp.asarray(np.stack(Rs)); t0 = jnp.asarray(np.stack(ts))
+
+    err0 = float(jnp.linalg.norm(t0 - t_gt, axis=-1).max())
+    Rf, tf, cost = posegraph.optimize_pose_graph(
+        R0, t0, jnp.ones((M,), bool), ea, eb, dx, W, mask, iters=15
+    )
+    errf = float(jnp.linalg.norm(tf - t_gt, axis=-1).max())
+    assert errf < 0.25 * err0, f"drift not reduced: {err0:.3f} -> {errf:.3f}"
+    assert errf < 0.05
+
+
+def test_edges_from_archive_roundtrip():
+    edges = [
+        (1.0, 2.0, np.zeros(6, np.float32), np.eye(6, dtype=np.float32) * 4.0),
+        (2.0, 99.0, np.zeros(6, np.float32), np.eye(6, dtype=np.float32)),  # dropped
+    ]
+    ea, eb, dx, W, mask = posegraph.edges_from_archive(edges, [1.0, 2.0, 3.0])
+    assert ea.shape == (1,) and int(ea[0]) == 0 and int(eb[0]) == 1
+    np.testing.assert_allclose(np.asarray(W[0]), np.eye(6) * 2.0, atol=1e-4)
+    assert bool(mask[0])
+
+
+def test_pipeline_edges_feed_posegraph(rng):
+    """End-to-end: archived NFR edges from a real run optimize cleanly."""
+    import dataclasses as _dc
+    from sadvio_tpu.pipeline import synthetic
+    from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
+    from sadvio_tpu.pipeline.slam import StereoSLAM
+
+    world = synthetic.make_world(seed=3, n_frames=40, width=320, height=240,
+                                 n_points=200, imu_noise=True)
+    cfg = SLAMConfig(
+        slam_mode="bimono", max_kf_number=3, min_lmk_number=25,
+        max_movement_parallax=0.5, min_movement_parallax=0.02,
+        marginalization=True, sparsification=True, pose_graph=True,
+        caps=Capacities(K=4, L=160, P=24, pyr_levels=3, klt_radius=5),
+    )
+    slam = StereoSLAM(world.rig, cfg)
+    slam.run(world.frames)
+    assert len(slam.pose_graph_edges) >= 2
+    node_ts = [e[0] for e in slam.archived_kf] + list(slam.kf_ts)
+    poses = {ts: (R, t) for ts, R, t in slam.archived_kf}
+    for (ts, R, t) in slam.kf_traj:
+        poses.setdefault(ts, (R, t))
+    node_ts = [ts for ts in node_ts if ts in poses]
+    M = len(node_ts)
+    R0 = jnp.asarray(np.stack([poses[ts][0] for ts in node_ts]))
+    t0 = jnp.asarray(np.stack([poses[ts][1] for ts in node_ts]))
+    ea, eb, dx, W, mask = posegraph.edges_from_archive(slam.pose_graph_edges, node_ts)
+    assert int(mask.sum()) >= 2
+    Rf, tf, cost = posegraph.optimize_pose_graph(
+        R0, t0, jnp.ones((M,), bool), ea, eb, dx, W, mask, iters=5
+    )
+    assert np.isfinite(np.asarray(tf)).all()
+    # already-consistent edges: optimization should not blow the trajectory up
+    assert float(jnp.linalg.norm(tf - t0, axis=-1).max()) < 0.5
