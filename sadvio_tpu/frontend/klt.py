@@ -89,16 +89,16 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     WS = min(2 * (2 * rh + 2) + 2, H, W)
 
     # TPU-idiomatic sampling: one aligned dynamic-slice window per feature,
-    # then bilinear interpolation as a dense one-hot weight matrix times the
-    # flattened window -- an einsum the MXU executes, instead of (S+2)^2
-    # scattered HBM gathers per feature.
+    # then bilinear interpolation as separable row/col one-hot weight
+    # matrices contracted against the window -- einsums the MXU executes,
+    # instead of (S+2)^2 scattered HBM gathers per feature.
     pts = uv0[:, None, :] + jnp.einsum("sj,nij->nsi", offs2, warp)
     base = jnp.floor(jnp.min(pts, axis=1)) - 1.0
     base = jnp.clip(base, 0.0, jnp.asarray([W - WS, H - WS], jnp.float32))
     bi = base.astype(jnp.int32)
     wins = jax.vmap(
         lambda b: jax.lax.dynamic_slice(img0, (b[1], b[0]), (WS, WS))
-    )(bi).reshape(-1, WS * WS)
+    )(bi)
 
     loc = pts - base[:, None, :]
     ix = jnp.floor(loc[..., 0]).astype(jnp.int32)
@@ -107,14 +107,16 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     fy = loc[..., 1] - iy.astype(jnp.float32)
     ix = jnp.clip(ix, 0, WS - 2)
     iy = jnp.clip(iy, 0, WS - 2)
-    k00 = iy * WS + ix
-    oh = (
-        jax.nn.one_hot(k00, WS * WS) * ((1 - fx) * (1 - fy))[..., None]
-        + jax.nn.one_hot(k00 + 1, WS * WS) * (fx * (1 - fy))[..., None]
-        + jax.nn.one_hot(k00 + WS, WS * WS) * ((1 - fx) * fy)[..., None]
-        + jax.nn.one_hot(k00 + WS + 1, WS * WS) * (fx * fy)[..., None]
-    )
-    P = jnp.einsum("nsk,nk->ns", oh, wins).reshape(-1, Sh, Sh)
+    # bilinear weights factorize as w(r,c) = wy(r) * wx(c): two small
+    # (N,S2,WS) one-hot operands instead of one (N,S2,WS^2) -- ~15x less
+    # HBM traffic for the same MXU contraction (this einsum pair is the
+    # whole-frame KLT cost on TPU, so the factorization matters)
+    rowW = (jax.nn.one_hot(iy, WS) * (1 - fy)[..., None]
+            + jax.nn.one_hot(iy + 1, WS) * fy[..., None])
+    colW = (jax.nn.one_hot(ix, WS) * (1 - fx)[..., None]
+            + jax.nn.one_hot(ix + 1, WS) * fx[..., None])
+    tmp = jnp.einsum("nsr,nrc->nsc", rowW, wins)
+    P = jnp.einsum("nsc,nsc->ns", tmp, colW).reshape(-1, Sh, Sh)
 
     T = P[:, 1:-1, 1:-1]
     gx = 0.5 * (P[:, 1:-1, 2:] - P[:, 1:-1, :-2])
@@ -179,10 +181,12 @@ def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
     return uv, good_grad & inb, err
 
 
-@partial(jax.jit, static_argnames=("levels", "radius", "iters", "use_pallas"))
+@partial(jax.jit, static_argnames=("levels", "radius", "iters", "use_pallas",
+                                   "bwd_levels"))
 def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
           iters: int = 10, min_eig: float = 1e-3, fb_thresh: float = 0.5,
-          max_err: float = 20.0, warp=None, use_pallas: bool = False):
+          max_err: float = 20.0, warp=None, use_pallas: bool = False,
+          bwd_levels: int = 1):
     """Track features uv0 from pyramid pyr0 to pyr1 with initial guess uv_init.
 
     Returns (uv1, valid, err).  Forward-backward consistency < fb_thresh px
@@ -210,11 +214,11 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
 
     dims = pyramid_dims(pyr0[0].shape, levels)
 
-    def run(pa, pb, uv_a, uv_b0, A):
-        uv = uv_b0 / (2 ** (levels - 1))
+    def run(pa, pb, uv_a, uv_b0, A, use_levels):
+        uv = uv_b0 / (2 ** (use_levels - 1))
         ok = jnp.ones(uv_a.shape[0], bool)
         err = jnp.zeros(uv_a.shape[0], jnp.float32)
-        for lvl in range(levels - 1, -1, -1):
+        for lvl in range(use_levels - 1, -1, -1):
             s = 2.0 ** lvl
             H_l, W_l = pb[lvl].shape
             # the Pallas window kernel needs the level image to contain one
@@ -230,8 +234,11 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
                 uv = uv * 2.0
         return uv, ok, err
 
-    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init, warp)
-    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0, inv)
+    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init, warp, levels)
+    # backward pass starts AT the answer (uv0), so coarse levels add nothing
+    # but cost: level-0-only refinement is the standard f-b check form
+    # (the 0.5 px gate below is the same as Point2DFeatureTracker.cpp:104)
+    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0, inv, bwd_levels)
     fb = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     valid = valid0 & ok_f & ok_b & (fb < fb_thresh) & (err < max_err)
     return uv1, valid, err

@@ -86,25 +86,37 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
         c = nrm_ref[f, 0, 2]
         inv_det = nrm_ref[f, 0, 3]
         dma_f(f, ox, oy).wait()
-        wref = win.at[f]
+        # center ONCE: roll the full (WIN_Y, WIN_X) window so the feature's
+        # integer corner sits at (8, 48), then iterate on a (WIN_Y, 128)
+        # subwindow -- per-iteration rolls move half the data, and the
+        # subwindow lives in vregs across the fori_loop (loop-invariant)
+        c0x = jnp.floor(uv_ref[f, 0, 0]).astype(jnp.int32) - ox
+        c0y = jnp.floor(uv_ref[f, 0, 1]).astype(jnp.int32) - oy
+        w128 = pltpu.roll(
+            pltpu.roll(win.at[f][:], -(c0x - 48), 1), -(c0y - 8), 0
+        )[:, :128]
+        base_x = ox + c0x - 48  # image x of subwindow lane 0
+        base_y = oy + c0y - 8
 
         def sample_patch(u, v):
-            """Bilinear (S,S) patch at window-local float position.
+            """Bilinear (S,S) patch at subwindow-local float position.
 
-            Mosaic cannot vector-load at dynamic lane offsets, so the window
-            is circularly rolled (dynamic shift is supported) to put the
-            patch's integer corner at the origin, then sliced statically;
-            the four bilinear taps are static +-1 shifts of that roll.
+            Mosaic cannot vector-load at dynamic lane offsets, so the
+            subwindow is circularly rolled (dynamic shift is supported) to
+            put the patch's integer corner at the origin, then sliced
+            statically; the four bilinear taps are static +-1 shifts of
+            that roll.  Drift budget from the centered start: ~±40 lanes /
+            ±8 rows, far beyond LK's convergence basin.
             """
-            lx = u - ox.astype(u.dtype) - half
-            ly = v - oy.astype(v.dtype) - half
+            lx = u - base_x.astype(u.dtype) - half
+            ly = v - base_y.astype(v.dtype) - half
             ix = jnp.floor(lx).astype(jnp.int32)
             iy = jnp.floor(ly).astype(jnp.int32)
             fx = lx - ix.astype(u.dtype)
             fy = ly - iy.astype(u.dtype)
-            ix = jnp.clip(ix, 0, WIN_X - S - 1)
+            ix = jnp.clip(ix, 0, 128 - S - 1)
             iy = jnp.clip(iy, 0, WIN_Y - S - 1)
-            w = pltpu.roll(pltpu.roll(wref[:], -ix, 1), -iy, 0)
+            w = pltpu.roll(pltpu.roll(w128, -ix, 1), -iy, 0)
             p00 = w[:S, :S]
             p01 = w[:S, 1 : S + 1]
             p10 = w[1 : S + 1, :S]

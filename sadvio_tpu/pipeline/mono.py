@@ -289,10 +289,13 @@ class MonoSLAM(StereoSLAM):
             out = {"ts": frame.ts, "is_kf": False, "ok": True}
             if images_dev is None:
                 images_dev = self._upload_images(frame)
-            self._prefetched = (
-                self._upload_images(prefetch_frame)
-                if prefetch_frame is not None else None
-            )
+            if prefetch_frame is not None:
+                self._prefetched = self._upload_images(prefetch_frame)
+                if self.vio:
+                    self._imu_pref = self._pack_imu(prefetch_frame)
+                    self._imu_pref_ts = prefetch_frame.ts
+            else:
+                self._prefetched = None
             pyr_new = self._pyramids(images_dev)
             out["is_kf"] = self._try_bootstrap(frame, pyr_new)
             pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))

@@ -105,6 +105,8 @@ class StereoSLAM:
         self.kf_ts = []  # host mirror of active window-slot timestamps
         self._have_priors = False  # host mirror of any(priors.sp_mask)
         self._prefetched = None  # next frame's device images (run() pipeline)
+        self._imu_pref = []  # next frame's uploaded IMU batches
+        self._imu_pref_ts = None  # timestamp keying _imu_pref
         # global archive of marginalized KFs (GlobalMap::addFrame role,
         # globalmap.cpp:5) + optional NFR pose-graph edges (marginalizeRelative)
         self.archived_kf = []  # (ts, R, t) host-side append-only log
@@ -498,18 +500,17 @@ class StereoSLAM:
         return imu_mod.preintegrate(
             acc, gyr, dt, pre.ba_lin, pre.bg_lin, self.imu_params, init=pre)
 
-    def _accumulate_imu(self, frame):
-        """Jitted, fixed-shape preintegration of the frame's IMU batch.
-
-        Eager preintegration dispatches ~15 small ops per sample; on a
-        tunneled device that is one RPC each (~700 ms/frame measured).
-        Padding to _IMU_CAP (dt==0 rows are exact no-ops in the scan) keeps
-        a single compiled executable and a single dispatch.
-        """
+    def _pack_imu(self, frame):
+        """Pack + upload a frame's IMU samples as _IMU_CAP-padded device
+        batches (dt==0 rows are exact no-ops in the scan).  Called at
+        prefetch time so the H2D transfer (a full RPC round trip on a
+        tunneled device, ~30 ms measured) rides the tunnel during the
+        previous frame's compute instead of blocking this frame."""
         n = len(frame.dt)
         if n == 0:
-            return
+            return []
         cap = self._IMU_CAP
+        out = []
         for k0 in range(0, n, cap):
             sl = slice(k0, min(k0 + cap, n))
             m = sl.stop - sl.start
@@ -519,8 +520,24 @@ class StereoSLAM:
             batch[:m, 0:3] = frame.acc[sl]
             batch[:m, 3:6] = frame.gyr[sl]
             batch[:m, 6] = frame.dt[sl]
-            self.pre_cur = self._preint(jnp.asarray(batch), self.pre_cur)
-        self._imu_n += n
+            out.append((jnp.asarray(batch), m))
+        return out
+
+    def _accumulate_imu(self, frame):
+        """Jitted, fixed-shape preintegration of the frame's IMU batch.
+
+        Eager preintegration dispatches ~15 small ops per sample; on a
+        tunneled device that is one RPC each (~700 ms/frame measured).
+        Uses the ts-keyed prefetched upload when process_frame enqueued one
+        for this frame (run()'s pipeline), else packs + uploads now.
+        """
+        if self._imu_pref_ts == frame.ts:
+            batches = self._imu_pref
+        else:
+            batches = self._pack_imu(frame)
+        for batch, m in batches:
+            self.pre_cur = self._preint(batch, self.pre_cur)
+            self._imu_n += m
 
     def _gravity_align_init(self, frame):
         """First-pose gravity alignment from averaged accelerometer samples
@@ -551,9 +568,13 @@ class StereoSLAM:
             self._accumulate_imu(frame)
         if images_dev is None:
             images_dev = self._upload_images(frame)
-        self._prefetched = (
-            self._upload_images(prefetch_frame) if prefetch_frame is not None else None
-        )
+        if prefetch_frame is not None:
+            self._prefetched = self._upload_images(prefetch_frame)
+            if self.vio:
+                self._imu_pref = self._pack_imu(prefetch_frame)
+                self._imu_pref_ts = prefetch_frame.ts
+        else:
+            self._prefetched = None
         pyr_new = self._pyramids(images_dev)
 
         out = {"ts": frame.ts, "is_kf": False, "ok": True}
