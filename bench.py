@@ -8,6 +8,12 @@ window=10" axis).  Baseline: the reference's implied CPU budget -- 20 LM
 iterations inside its back-end real-time budget with 4 threads
 (AOptimizer.cpp:315-323); we take 10 ms/iter as the reference-parity bar.
 vs_baseline > 1 means faster than the bar.
+
+Measurement protocol (tunneled-TPU safe): the device plugin here can return
+from block_until_ready without having executed, so timings are forced by a
+VALUE fetch, and the solves are DEPENDENCY-CHAINED (solve k+1 consumes solve
+k's state) so fetching the final scalar provably forces every solve in the
+chain.  One fetch round trip is amortized over the whole chain.
 """
 
 import json
@@ -15,9 +21,11 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_MS_PER_ITER = 10.0
 ITERS = 20
+CHAIN = 10
 
 
 def main():
@@ -27,17 +35,26 @@ def main():
     problem = _tiny_problem(K=11, C=2, L=512, P=48)
     opts = ba.BAOptions(iters=ITERS)
 
-    # compile
-    state, stats = ba.ba_solve(problem, opts)
-    jax.block_until_ready(state)
+    def chain(problem, n):
+        """n dependency-chained solves; tiny pose jitter between links keeps
+        LM off its converged fixed point without changing the compute."""
+        state = problem.state
+        for k in range(n):
+            p = problem._replace(
+                state=state.replace(t=state.t + 1e-7 * (k + 1))
+            )
+            state, stats = ba.ba_solve(p, opts)
+        return state
 
-    n_rep = 5
+    # compile + warm, forced by a value fetch
+    float(np.asarray(chain(problem, 1).t).sum())
+
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        state, stats = ba.ba_solve(problem, opts)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / n_rep
-    ms_per_iter = dt * 1000.0 / ITERS
+    out = chain(problem, CHAIN)
+    s = float(np.asarray(out.t).sum())  # forces the whole chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    ms_per_iter = dt * 1000.0 / (ITERS * CHAIN)
 
     print(json.dumps({
         "metric": "vio_window_ba_ms_per_iter_w10_l512",
