@@ -143,6 +143,77 @@ def preintegrate(acc, gyr, dt, ba, bg, params: ImuParams, init: Preintegration |
     return final
 
 
+@struct.dataclass
+class ChunkSummary:
+    """Preintegration of a contiguous sample chunk, closed under composition.
+
+    Carries, besides the deltas/covariance/bias-Jacobians of the chunk, the
+    accumulated linear transition products M9 (covariance propagation) and
+    M15 (bias-Jacobian propagation) so that two adjacent chunks compose with
+    `combine_summary` — the algebra that makes the 200 Hz IMU stream
+    shardable along time across devices (SURVEY.md §2.7 sequence
+    parallelism; reference semantics: IMU.cpp:5-91 per-sample loop).
+    """
+
+    dR: jnp.ndarray  # (3,3) delta rotation over the chunk
+    dv: jnp.ndarray  # (3,)
+    dp: jnp.ndarray  # (3,)
+    dt: jnp.ndarray  # scalar chunk duration
+    M9: jnp.ndarray  # (9,9) product of per-sample covariance transitions
+    cov: jnp.ndarray  # (9,9) chunk covariance (from zero initial)
+    M15: jnp.ndarray  # (15,15) product of bias-Jacobian transitions
+    X: jnp.ndarray  # (15,3) stacked bias Jacobians of the chunk
+
+
+def combine_summary(a: ChunkSummary, b: ChunkSummary) -> ChunkSummary:
+    """Compose chunk `a` (earlier) with chunk `b` (later). Associative.
+
+    Chunk `b`'s transitions were built with prefix rotations local to its own
+    start, while in the concatenated stream every one of its per-sample
+    transitions carries the extra left rotation ``a.dR``:
+    A_global = G A_local Gᵀ with G = diag(I, a.dR, a.dR) (the dphi row is
+    rotation-free, the dv/dp rows each carry one dR_prev factor), and
+    likewise for the 15x15 bias-Jacobian transitions with
+    G15 = diag(I, a.dR x4).  So b's products/covariance are conjugated into
+    the global frame before the textbook affine composition.
+    """
+    dtype = a.dR.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros((3, 3), dtype)
+
+    def blockdiag(blocks):
+        rows = []
+        n = len(blocks)
+        for i, blk in enumerate(blocks):
+            rows.append(jnp.concatenate(
+                [blk if j == i else z3 for j in range(n)], axis=-1))
+        return jnp.concatenate(rows, axis=-2)
+
+    G9 = blockdiag([eye3, a.dR, a.dR])
+    G15 = blockdiag([eye3, a.dR, a.dR, a.dR, a.dR])
+    M9b = G9 @ b.M9 @ G9.T
+    M15b = G15 @ b.M15 @ G15.T
+    return ChunkSummary(
+        dR=a.dR @ b.dR,
+        dv=a.dv + a.dR @ b.dv,
+        dp=a.dp + a.dv * b.dt + a.dR @ b.dp,
+        dt=a.dt + b.dt,
+        M9=M9b @ a.M9,
+        cov=M9b @ a.cov @ M9b.T + G9 @ b.cov @ G9.T,
+        M15=M15b @ a.M15,
+        X=M15b @ a.X + G15 @ b.X,
+    )
+
+
+def summary_to_preintegration(s: ChunkSummary, ba, bg) -> Preintegration:
+    return Preintegration(
+        dR=s.dR, dv=s.dv, dp=s.dp, cov=s.cov,
+        J_dR_bg=s.X[0:3], J_dv_ba=s.X[3:6], J_dv_bg=s.X[6:9],
+        J_dp_ba=s.X[9:12], J_dp_bg=s.X[12:15],
+        dt=s.dt, ba_lin=ba, bg_lin=bg,
+    )
+
+
 def preintegrate_assoc(acc, gyr, dt, ba, bg, params: ImuParams):
     """Log-depth preintegration via jax.lax.associative_scan.
 
@@ -165,6 +236,14 @@ def preintegrate_assoc(acc, gyr, dt, ba, bg, params: ImuParams):
     Padding samples (dt == 0) are exact no-ops (their elements are group /
     affine identities).
     """
+    return summary_to_preintegration(
+        chunk_summary(acc, gyr, dt, ba, bg, params), ba, bg)
+
+
+def chunk_summary(acc, gyr, dt, ba, bg, params: ImuParams) -> ChunkSummary:
+    """Composable preintegration summary of one sample chunk (see
+    `ChunkSummary`); the local half of the time-sharded preintegration in
+    `sadvio_tpu/parallel/time_sharding.py`."""
     dtype = acc.dtype
     n = acc.shape[0]
     active = dt > 0.0
@@ -218,7 +297,7 @@ def preintegrate_assoc(acc, gyr, dt, ba, bg, params: ImuParams):
         return (jnp.einsum("...ij,...jk->...ik", Mb, Ma),
                 jnp.einsum("...ij,...jk,...lk->...il", Mb, Ca, Mb) + Cb)
 
-    _, covs = jax.lax.associative_scan(combine_aff_cov, (A, C))
+    M9s, covs = jax.lax.associative_scan(combine_aff_cov, (A, C))
 
     # -- pass 3: bias Jacobians, stacked affine scan --------------------------
     # X = [J_dR_bg; J_dv_ba; J_dv_bg; J_dp_ba; J_dp_bg]  (15,3)
@@ -243,14 +322,11 @@ def preintegrate_assoc(acc, gyr, dt, ba, bg, params: ImuParams):
         return (jnp.einsum("...ij,...jk->...ik", Mb, Ma),
                 jnp.einsum("...ij,...jk->...ik", Mb, ca) + cb)
 
-    _, Xs = jax.lax.associative_scan(combine_aff, (M, c))
-    X = Xs[-1]
+    M15s, Xs = jax.lax.associative_scan(combine_aff, (M, c))
 
-    return Preintegration(
-        dR=pR[-1], dv=pv[-1], dp=pp[-1], cov=covs[-1],
-        J_dR_bg=X[0:3], J_dv_ba=X[3:6], J_dv_bg=X[6:9],
-        J_dp_ba=X[9:12], J_dp_bg=X[12:15],
-        dt=pt[-1], ba_lin=ba, bg_lin=bg,
+    return ChunkSummary(
+        dR=pR[-1], dv=pv[-1], dp=pp[-1], dt=pt[-1],
+        M9=M9s[-1], cov=covs[-1], M15=M15s[-1], X=Xs[-1],
     )
 
 
