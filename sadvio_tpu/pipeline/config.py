@@ -148,8 +148,13 @@ def load_dataset_config(path: str) -> DatasetConfig:
         if c is None:
             continue
         T = np.asarray(c["T_BS"]["data"], np.float64).reshape(4, 4)
+        # reference spelling aliases (adataprovider.cpp:80-175 accepts the
+        # projection_model strings used by ros/config/dataset/*.yaml)
+        model = str(c.get("camera_model", c.get("projection_model", "pinhole")))
+        model = {"equidistant": "fisheye", "kannala_brandt": "fisheye",
+                 "ds": "double_sphere"}.get(model, model)
         cams.append(CameraCalib(
-            model=str(c.get("camera_model", c.get("projection_model", "pinhole"))),
+            model=model,
             width=int(c["resolution"][0]), height=int(c["resolution"][1]),
             intrinsics=tuple(float(v) for v in c["intrinsics"]),
             distortion=tuple(float(v) for v in c.get("distortion_coefficients", [])),

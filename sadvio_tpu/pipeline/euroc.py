@@ -177,15 +177,53 @@ def enhance_contrast(img, method: str):
 
 
 def rig_from_dataset(ds) -> Rig:
-    """Rig from a DatasetConfig (EuRoC T_BS is body-from-sensor = T_f_s)."""
-    fx = jnp.asarray([c.intrinsics[0] for c in ds.cameras], jnp.float32)
-    fy = jnp.asarray([c.intrinsics[1] for c in ds.cameras], jnp.float32)
-    cx = jnp.asarray([c.intrinsics[2] for c in ds.cameras], jnp.float32)
-    cy = jnp.asarray([c.intrinsics[3] for c in ds.cameras], jnp.float32)
-    model = cameras.Pinhole(
-        fx=fx, fy=fy, cx=cx, cy=cy,
-        width=ds.cameras[0].width, height=ds.cameras[0].height,
-    )
+    """Rig from a DatasetConfig (EuRoC T_BS is body-from-sensor = T_f_s).
+
+    Dispatches on the calibration's camera model (the image-sensor factory of
+    adataprovider.cpp:176-250): pinhole | fisheye (equidistant, k1..k4) |
+    double_sphere (fx fy cx cy xi alpha) | omni (fx fy cx cy xi + radtan).
+    All cameras of one rig must share a model family (they batch over C).
+    """
+    kinds = {c.model for c in ds.cameras}
+    if len(kinds) != 1:
+        raise ValueError(f"mixed camera models in one rig: {sorted(kinds)}")
+    kind = kinds.pop()
+
+    def col(i, default=None, from_dist=None):
+        vals = []
+        for c in ds.cameras:
+            if i < len(c.intrinsics):
+                vals.append(c.intrinsics[i])
+            elif from_dist is not None and from_dist < len(c.distortion):
+                vals.append(c.distortion[from_dist])
+            elif default is not None:
+                vals.append(default)
+            else:
+                raise ValueError(
+                    f"{kind} calibration needs intrinsics[{i}]")
+        return jnp.asarray(vals, jnp.float32)
+
+    base = dict(fx=col(0), fy=col(1), cx=col(2), cy=col(3),
+                width=ds.cameras[0].width, height=ds.cameras[0].height)
+    if kind == "pinhole":
+        model = cameras.Pinhole(**base)
+    elif kind == "fisheye":
+        # k1..k4 follow fx fy cx cy in intrinsics, or live in
+        # distortion_coefficients (both spellings occur in the wild)
+        model = cameras.Fisheye(
+            **base, k1=col(4, 0.0, 0), k2=col(5, 0.0, 1),
+            k3=col(6, 0.0, 2), k4=col(7, 0.0, 3),
+        )
+    elif kind == "double_sphere":
+        model = cameras.DoubleSphere(**base, xi=col(4), alpha=col(5))
+    elif kind == "omni":
+        model = cameras.Omni(
+            **base, xi=col(4),
+            k1=col(5, 0.0, 0), k2=col(6, 0.0, 1),
+            p1=col(7, 0.0, 2), p2=col(8, 0.0, 3),
+        )
+    else:
+        raise ValueError(f"unknown camera model '{kind}'")
     Ts = [np.asarray(c.T_f_s, np.float64).reshape(4, 4) for c in ds.cameras]
     R_f_s = jnp.asarray(np.stack([T[:3, :3] for T in Ts]), jnp.float32)
     t_f_s = jnp.asarray(np.stack([T[:3, 3] for T in Ts]), jnp.float32)
@@ -215,7 +253,10 @@ class EurocProvider:
         if dataset is not None and undistort and dataset.cameras:
             self.maps = []
             for c in dataset.cameras:
-                if any(abs(d) > 1e-12 for d in c.distortion[:4]):
+                # only the pinhole path pre-undistorts (radtan remap,
+                # adataprovider.cpp:80-175); wide-angle models keep their
+                # distortion inside the projection itself
+                if c.model == "pinhole" and any(abs(d) > 1e-12 for d in c.distortion[:4]):
                     grid, intr = undistort_grid(c)
                     self.maps.append(jnp.asarray(grid))
                 else:

@@ -132,6 +132,10 @@ class StereoSLAM:
         self._ba_opts = ba.BAOptions(
             iters=8, sigma_px=jnp.float32(1.0),
             acc_walk=self.imu_params.acc_walk, gyr_walk=self.imu_params.gyr_walk,
+            # optimizer dispatch (slamParameters.cpp:263-281): "angular" =
+            # bearing-vector error BA (AngularAdjustmentCERESAnalytic), the
+            # right residual for fisheye/omni rigs
+            angular=config.optimizer.lower().startswith("angular"),
         )
 
     # ------------------------------------------------------------------

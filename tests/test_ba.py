@@ -29,9 +29,9 @@ def make_rig():
     return Rig(cam=model, R_f_s=R_f_s, t_f_s=t_f_s)
 
 
-def make_world(rng, n_kf=K, noise_px=0.0):
+def make_world(rng, n_kf=K, noise_px=0.0, rig=None):
     """Forward-simulate a trajectory looking at a landmark wall at z~5."""
-    rig = make_rig()
+    rig = rig if rig is not None else make_rig()
     lmk = np.zeros((L, 3), np.float32)
     lmk[:, 0] = rng.uniform(-3, 3, L)
     lmk[:, 1] = rng.uniform(-2, 2, L)
@@ -270,3 +270,28 @@ def test_ba_angular_mode(rng):
     sol, stats = ba.ba_solve(problem, ba.BAOptions(iters=8, angular=True))
     assert float(stats["cost"]) < float(stats["cost0"]) * 1e-3
     assert pose_err(sol, gt, gt.kf_mask) < 2e-3
+
+
+def test_ba_fisheye_rig(rng):
+    """Window BA on an equidistant-fisheye stereo rig: the exotic-model
+    Jacobians (jacfwd, cameras.py:286) must drive the angular solver to the
+    same recovery the pinhole rig reaches (AngularAdjustmentCERESAnalytic's
+    use case for wide-angle lenses)."""
+    fe = cameras.Fisheye(
+        fx=jnp.full((C,), 240.0), fy=jnp.full((C,), 240.0),
+        cx=jnp.full((C,), 320.0), cy=jnp.full((C,), 240.0),
+        k1=jnp.full((C,), -0.01), k2=jnp.full((C,), 0.005),
+        k3=jnp.full((C,), -0.002), k4=jnp.full((C,), 0.0005),
+        width=640, height=480,
+    )
+    rig = Rig(
+        cam=fe,
+        R_f_s=jnp.broadcast_to(jnp.eye(3), (C, 3, 3)),
+        t_f_s=jnp.array([[0.0, 0.0, 0.0], [0.12, 0.0, 0.0]]),
+    )
+    gt, obs, rig = make_world(rng, rig=rig)
+    noisy = perturb_state(rng, gt)
+    problem = ba.make_problem(noisy, obs, rig)
+    sol, stats = ba.ba_solve(problem, ba.BAOptions(iters=10, angular=True))
+    assert float(stats["cost"]) < float(stats["cost0"]) * 1e-2
+    assert pose_err(sol, gt, gt.kf_mask) < 5e-3

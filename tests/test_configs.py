@@ -51,3 +51,34 @@ def test_preset_loads(preset):
 
         rig = rig_from_dataset(ds)
         assert rig.C == len(ds.cameras)
+
+
+MODEL_CLASS = {
+    "pinhole": "Pinhole", "fisheye": "Fisheye",
+    "double_sphere": "DoubleSphere", "omni": "Omni",
+}
+
+
+@pytest.mark.parametrize("preset", PRESETS, ids=[os.path.basename(p) for p in PRESETS])
+def test_preset_builds_pipeline(preset):
+    """Each preset must construct its full SLAM pipeline object with the
+    right camera-model class and optimizer dispatch (slamParameters.cpp:44-281
+    contract: every shipped preset works with the factory)."""
+    from sadvio_tpu.models import imu as imu_mod
+    from sadvio_tpu.pipeline.euroc import rig_from_dataset
+    from sadvio_tpu.run_euroc import build_slam
+
+    cfg = cfg_mod.load_slam_config(os.path.join(preset, "config.yaml"))
+    ds = cfg_mod.load_dataset_config(os.path.join(preset, "dataset.yaml"))
+    rig = rig_from_dataset(ds)
+    assert type(rig.cam).__name__ == MODEL_CLASS[ds.cameras[0].model]
+    imu_params = (
+        imu_mod.ImuParams(
+            acc_noise=ds.imu.acc_noise, gyr_noise=ds.imu.gyr_noise,
+            acc_walk=ds.imu.acc_walk, gyr_walk=ds.imu.gyr_walk,
+            rate_hz=ds.imu.rate_hz,
+        ) if ds.imu is not None else None
+    )
+    slam = build_slam(cfg, rig, imu_params)
+    want_angular = cfg.optimizer.lower().startswith("angular")
+    assert bool(slam._ba_opts.angular) == want_angular
