@@ -236,7 +236,10 @@ def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
     Hll = jnp.einsum("kclai,kclaj->lij", wJl, Jl)
     bl = -jnp.einsum("kclai,kcla->li", wJl, r)
     wJp = w[..., None, None] * Jp
-    Hpl = jnp.einsum("kclai,kclaj->klij", wJp, Jl)  # (K,L,6,3)
+    # (K,L,6,3): written as a fused broadcast-multiply-reduce -- the einsum
+    # spelling lowers ~20x off roofline on TPU when two large non-contracted
+    # axes (K,L) remain (measured 3.9 ms vs 0.17 ms at K=65,L=4096)
+    Hpl = (wJp[..., :, None] * Jl[..., None, :]).sum((1, 3))  # (K,L,6,3)
     Hpp = jnp.einsum("kclai,kclaj->kij", wJp, Jp)  # (K,6,6)
     bp = -jnp.einsum("kclai,kcla->ki", wJp, r)  # (K,6)
 
@@ -254,7 +257,7 @@ def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
     dll = jnp.abs(jnp.diagonal(Hll_e, axis1=-2, axis2=-1))  # (L,3)
     damp = lam * dll + opts.jitter + (1.0 - em[:, None])
     Hll_d = Hll_e + jax.vmap(jnp.diag)(damp)
-    Hll_inv = jnp.linalg.inv(Hll_d) * em[:, None, None]
+    Hll_inv = geo.inv3x3(Hll_d) * em[:, None, None]
     W_kl = jnp.einsum("klij,ljm->klim", Hpl_e, Hll_inv)
     Hred_corr = -jnp.einsum("klab,qlcb->kqac", W_kl, Hpl_e)  # (K,K,6,6)
     bred_corr = -jnp.einsum("klab,lb->ka", W_kl, bl_e)

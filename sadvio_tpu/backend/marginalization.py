@@ -268,7 +268,7 @@ def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
     # lonely elimination onto x0 pose block
     em = blanket.lonely.astype(r.dtype)
     Hll_e = Hll * em[:, None, None] + jnp.eye(3, dtype=r.dtype) * opts.jitter
-    Hll_inv = jnp.linalg.inv(Hll_e) * em[:, None, None]
+    Hll_inv = geo.inv3x3(Hll_e) * em[:, None, None]
     corr = -jnp.einsum("lij,ljk,lmk->im", Hpl * em[:, None, None], Hll_inv, Hpl * em[:, None, None])
 
     H = jnp.zeros((dxm_dim, dxm_dim), r.dtype)
@@ -513,7 +513,7 @@ def marginalize_relative(state: WindowState, obs: Observations, rig: Rig,
     # batched per-landmark 3x3 elimination onto the two pose blocks
     em = shared.astype(dtype)
     Hll_e = Hll + jnp.eye(3, dtype=dtype) * opts.jitter
-    Hll_inv = jnp.linalg.inv(Hll_e) * em[:, None, None]
+    Hll_inv = geo.inv3x3(Hll_e) * em[:, None, None]
     B = jnp.zeros((state.L, D2, 3), dtype)
     B = B.at[:, 0:6, :].set(Hpl_s[0] * em[:, None, None])
     B = B.at[:, D : D + 6, :].set(Hpl_s[1] * em[:, None, None])

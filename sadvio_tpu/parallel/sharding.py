@@ -35,12 +35,33 @@ def make_mesh(n_devices=None, devices=None):
     return Mesh(np.asarray(devices[:n]).reshape(n), ("lmk",))
 
 
-def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
-    """Place the landmark axis of every array on the mesh's lmk axis.
+def make_mesh2d(n_kf, n_lmk, devices=None):
+    """2-D mesh (kf, lmk): keyframe axis x landmark axis.
 
-    Keyframe-sized state and the rig stay replicated (they are tiny); the
-    observation table, landmark store and masks shard on L.
+    For windows big enough that the observation table (K,C,L,2) dwarfs one
+    device, both table axes shard; the reduced camera system psums over the
+    lmk axis and the (K,K,6,6) Schur correction contracts across the kf
+    axis.  Keep n_kf small (the reduced solve replicates over it).
     """
+    devices = devices if devices is not None else jax.devices()
+    n = n_kf * n_lmk
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(n_kf, n_lmk), ("kf", "lmk"))
+
+
+def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
+    """Place the problem's arrays on the mesh.
+
+    Landmark-sized axes always shard on the mesh's ``lmk`` axis.  On a 2-D
+    (kf, lmk) mesh the observation table additionally shards its keyframe
+    axis, so each device holds a (K/nk, C, L/nl) tile; GSPMD then reduces
+    the per-tile normal-equation contributions over both axes.  Keyframe
+    state itself stays replicated (K*15 floats -- smaller than one
+    collective's latency is worth).
+    """
+    two_d = "kf" in mesh.axis_names
+    kf_ax = "kf" if two_d else None
     rep = NamedSharding(mesh, P())
     on_l = lambda *spec: NamedSharding(mesh, P(*spec))
 
@@ -56,8 +77,8 @@ def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
         lmk_flags=jax.device_put(state.lmk_flags, on_l("lmk")),
     )
     obs = Observations(
-        uv=jax.device_put(problem.obs.uv, on_l(None, None, "lmk")),
-        mask=jax.device_put(problem.obs.mask, on_l(None, None, "lmk")),
+        uv=jax.device_put(problem.obs.uv, on_l(kf_ax, None, "lmk")),
+        mask=jax.device_put(problem.obs.mask, on_l(kf_ax, None, "lmk")),
     )
     rig = jax.tree.map(lambda x: jax.device_put(x, rep), problem.rig)
     imu = jax.tree.map(lambda x: jax.device_put(x, rep), problem.imu)

@@ -296,3 +296,33 @@ def barycentric_coords(p, a, b, c):
     w = (d00 * d21 - d01 * d20) / denom
     u = 1.0 - v - w
     return u, v, w
+
+
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of batched 3x3 matrices.
+
+    ~100x faster than jnp.linalg.inv on TPU for large batches (LU with
+    pivoting lowers to sequential scalar code; this is pure VPU math).
+    Used for the per-landmark Schur blocks, which are damped SPD by
+    construction (det > 0).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A10, A11, A12], -1),
+        jnp.stack([A20, A21, A22], -1),
+    ], -2)
+    return adj / det[..., None, None]

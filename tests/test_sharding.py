@@ -52,3 +52,25 @@ def test_sharded_placement():
     assert len(sh.state.lmk.sharding.device_set) == 8
     assert not sh.state.lmk.sharding.is_fully_replicated
     assert sh.state.R.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_ba_2d_mesh_matches_single_device():
+    """(kf, lmk) 2-D mesh: observation table sharded on both axes."""
+    import __graft_entry__ as g
+
+    problem = g._tiny_problem(K=4, C=2, L=128, P=8)
+    opts = ba.BAOptions(iters=4)
+
+    ref_state, ref_stats = ba.ba_solve(problem, opts)
+    mesh = sharding.make_mesh2d(2, 4)
+    sh = sharding.shard_problem(problem, mesh)
+    assert not sh.obs.uv.sharding.is_fully_replicated
+    sh_state, sh_stats = ba.ba_solve(sh, opts)
+
+    np.testing.assert_allclose(
+        np.asarray(sh_state.t), np.asarray(ref_state.t), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(sh_stats["cost"]), float(ref_stats["cost"]), rtol=1e-3
+    )
