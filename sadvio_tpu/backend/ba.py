@@ -58,6 +58,10 @@ class BAOptions:
     # the AngularAdjustment optimizer variant for fisheye/omni rigs
     # (AngularAdjustmentCERESAnalytic).  sigma is then sigma_px / focal.
     angular: bool = struct.field(pytree_node=False, default=False)
+    # finite-difference reprojection Jacobians instead of the hand chain
+    # rule: the reference's numeric-diff fallback optimizer
+    # (BundleAdjustmentCERESNumeric).  Correctness baseline, not a hot path.
+    numeric: bool = struct.field(pytree_node=False, default=False)
 
 
 class BAProblem(NamedTuple):
@@ -115,6 +119,10 @@ def _reproj_terms(state: WindowState, obs: Observations, rig: Rig, opts: BAOptio
             ray = cam_c.backproject(uv_c)
             r, Jp, Jl, valid = factors.angular_residual_jac(
                 Rb, tb, Rfs_c, tfs_c, p, ray, opts.sigma_px / cam_c.focal
+            )
+        elif opts.numeric:
+            r, Jp, Jl, valid = factors.reprojection_residual_numeric(
+                cam_c, Rb, tb, Rfs_c, tfs_c, p, uv_c, opts.sigma_px
             )
         else:
             r, Jp, Jl, valid = factors.reprojection_residual(

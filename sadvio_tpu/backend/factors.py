@@ -48,6 +48,51 @@ def reprojection_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w, uv_meas, sigma
     return r, -J_pose * inv_s, -J_lmk * inv_s, valid
 
 
+def reprojection_residual_numeric(
+    model, R_w_f, t_w_f, R_f_s, t_f_s, p_w, uv_meas, sigma_px, eps=1e-3
+):
+    """Central-finite-difference reprojection linearization.
+
+    Analog of the reference's numeric-diff fallback optimizer
+    (BundleAdjustmentCERESNumeric.{h,cpp}): same residual as
+    `reprojection_residual`, but J_pose/J_lmk come from central differences
+    of the projection under the optimizer retraction (geo.pose_retract for
+    the 6 pose dims, Euclidean steps for the 3 landmark dims) instead of the
+    hand chain rule.  Exists as an autodiff-free correctness baseline; the
+    analytic path is the hot path.  Returns r, J_pose, J_lmk, valid with the
+    same shapes/conventions as `reprojection_residual`.
+    """
+    uv0, valid = cameras.project_world(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w)
+    inv_s = 1.0 / sigma_px
+    r = (uv_meas - uv0) * inv_s
+
+    def h_pose(dx):
+        Rp, tp = geo.pose_retract(R_w_f, t_w_f, dx)
+        uv, _ = cameras.project_world(model, Rp, tp, R_f_s, t_f_s, p_w)
+        return uv
+
+    def h_lmk(dp):
+        uv, _ = cameras.project_world(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w + dp)
+        return uv
+
+    batch = jnp.broadcast_shapes(
+        R_w_f.shape[:-2], t_w_f.shape[:-1], p_w.shape[:-1]
+    )
+    dt_ = p_w.dtype
+
+    def fd(h, n):
+        cols = []
+        for i in range(n):
+            e = jnp.zeros(batch + (n,), dt_).at[..., i].set(eps)
+            cols.append((h(e) - h(-e)) / (2.0 * eps))
+        return jnp.stack(cols, axis=-1)  # (...,2,n)
+
+    J_pose = fd(h_pose, 6)
+    J_lmk = fd(h_lmk, 3)
+    # residual = (meas - h(x))/sigma  =>  J_r = -J_h / sigma
+    return r, -J_pose * inv_s, -J_lmk * inv_s, valid
+
+
 def angular_residual(model, R_w_f, t_w_f, R_f_s, t_f_s, p_w, ray_meas, sigma):
     """Bearing-vector residual on the tangent plane of the observed ray.
 

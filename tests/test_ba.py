@@ -96,6 +96,39 @@ def test_ba_recovers_perturbation(rng):
     assert lerr < 5e-3
 
 
+def test_numeric_jacobians_match_analytic(rng):
+    """Finite-difference linearization (BundleAdjustmentCERESNumeric analog)
+    agrees with the hand chain rule on valid observations."""
+    from sadvio_tpu.backend import factors
+
+    gt, obs, rig = make_world(rng)
+    cam0 = jax.tree.map(
+        lambda x: x[0] if hasattr(x, "shape") and x.shape[:1] == (C,) else x,
+        rig.cam,
+    )
+    args = (cam0, gt.R[:, None], gt.t[:, None], rig.R_f_s[0], rig.t_f_s[0],
+            gt.lmk[None], obs.uv[:, 0], jnp.float32(1.0))
+    r_a, Jp_a, Jl_a, v_a = factors.reprojection_residual(*args)
+    r_n, Jp_n, Jl_n, v_n = factors.reprojection_residual_numeric(*args)
+    m = np.asarray(v_a & v_n & obs.mask[:, 0])
+    np.testing.assert_allclose(np.asarray(r_n)[m], np.asarray(r_a)[m], atol=1e-4)
+    # f32 central differences carry cancellation noise proportional to the
+    # Jacobian's overall scale -- compare against it, not element-wise rtol
+    for Jn, Ja in ((Jp_n, Jp_a), (Jl_n, Jl_a)):
+        Jn, Ja = np.asarray(Jn)[m], np.asarray(Ja)[m]
+        assert np.max(np.abs(Jn - Ja)) < 2e-2 * (1.0 + np.max(np.abs(Ja)))
+
+
+def test_ba_numeric_mode_converges(rng):
+    """The numeric-diff optimizer variant solves the same window problem."""
+    gt, obs, rig = make_world(rng)
+    noisy = perturb_state(rng, gt)
+    problem = ba.make_problem(noisy, obs, rig)
+    sol, stats = ba.ba_solve(problem, ba.BAOptions(iters=8, numeric=True))
+    assert float(stats["cost"]) < float(stats["cost0"]) * 1e-3
+    assert pose_err(sol, gt, gt.kf_mask) < 2e-3
+
+
 def test_ba_landmark_only(rng):
     """landmarkOptimization semantics: poses frozen, landmarks recovered."""
     gt, obs, rig = make_world(rng)
