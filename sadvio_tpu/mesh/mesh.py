@@ -60,23 +60,30 @@ class MeshConfig(NamedTuple):
 def delaunay_triangles(uv: np.ndarray, valid: np.ndarray, cap: int):
     """2D Delaunay over valid projected landmarks -> (cap,3) slot indices.
 
-    Host-side (scipy); semantics of Mesher::createMesh2D (mesher.cpp:134-165)
-    with cv::Subdiv2D replaced by scipy.spatial.Delaunay.  Returns
-    (tri (cap,3) int32 landmark-slot indices, mask (cap,) bool).
+    Host-side topology; semantics of Mesher::createMesh2D
+    (mesher.cpp:134-165).  The triangulation itself runs in the native C++
+    runtime (native/delaunay.cpp, the cv::Subdiv2D counterpart) when built,
+    falling back to scipy.spatial.Delaunay.  Returns (tri (cap,3) int32
+    landmark-slot indices, mask (cap,) bool).
     """
-    from scipy.spatial import Delaunay, QhullError
-
     idx = np.flatnonzero(np.asarray(valid))
     tri_out = np.zeros((cap, 3), np.int32)
     mask_out = np.zeros((cap,), bool)
     if idx.size < 3:
         return tri_out, mask_out
     pts = np.asarray(uv)[idx]
-    try:
-        d = Delaunay(pts)
-    except (QhullError, ValueError):
-        return tri_out, mask_out
-    simplices = idx[d.simplices]  # back to landmark-slot space
+
+    from sadvio_tpu.pipeline.native_io import native_delaunay
+
+    tris = native_delaunay(pts)
+    if tris is None:
+        from scipy.spatial import Delaunay, QhullError
+
+        try:
+            tris = Delaunay(pts).simplices
+        except (QhullError, ValueError):
+            return tri_out, mask_out
+    simplices = idx[tris]  # back to landmark-slot space
     n = min(len(simplices), cap)
     tri_out[:n] = simplices[:n]
     mask_out[:n] = True

@@ -53,7 +53,47 @@ def _load_lib(build_if_missing: bool = True):
     ]
     lib.euroc_close.restype = None
     lib.euroc_close.argtypes = [ctypes.c_void_p]
+    lib.sadvio_delaunay.restype = ctypes.c_int
+    lib.sadvio_delaunay.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+    ]
     return lib
+
+
+_CACHED_LIB = None
+_LIB_TRIED = False
+
+
+def shared_lib():
+    """Load (once) and return the native library handle, or None."""
+    global _CACHED_LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        _CACHED_LIB = _load_lib()
+    return _CACHED_LIB
+
+
+def native_delaunay(pts: np.ndarray) -> Optional[np.ndarray]:
+    """2-D Delaunay triangulation via native/delaunay.cpp (Bowyer-Watson).
+
+    pts: (n,2) float. Returns (m,3) int32 triangle indices into pts, or None
+    if the native library is unavailable.  Counterpart of the reference's
+    cv::Subdiv2D use in Mesher::createMesh2D (mesher.cpp:134-165).
+    """
+    lib = shared_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(pts, np.float32)
+    n = len(p)
+    cap = max(4 * n, 16)
+    out = np.empty((cap, 3), np.int32)
+    m = lib.sadvio_delaunay(p, n, out.reshape(-1), cap)
+    if m < 0:  # capacity overflow cannot happen at 4n for a planar set
+        return None
+    return out[:m].copy()
 
 
 class NativeEurocProvider:

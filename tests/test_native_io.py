@@ -92,3 +92,56 @@ def test_contrast_enhancers(rng):
     # equalization must widen the dynamic range of a low-contrast image
     he = np.asarray(pyio.enhance_contrast(img, "histeq"))
     assert he.max() - he.min() > (120 - 20) * 1.5
+
+
+def test_native_delaunay_matches_scipy(rng):
+    """native/delaunay.cpp produces a valid Delaunay triangulation: same
+    triangle count as scipy (triangulations of points in general position
+    are unique), empty circumcircles, consistent orientation."""
+    from sadvio_tpu.pipeline.native_io import native_delaunay
+
+    pts = rng.uniform(0, 100, (60, 2)).astype(np.float32)
+    tris = native_delaunay(pts)
+    if tris is None:
+        import pytest
+
+        pytest.skip("native library not built")
+
+    from scipy.spatial import Delaunay
+
+    ref = Delaunay(pts.astype(np.float64))
+    assert len(tris) == len(ref.simplices)
+
+    p = pts.astype(np.float64)
+    for (a, b, c) in tris:
+        A, B, C = p[a], p[b], p[c]
+        # CCW orientation
+        area2 = (B[0] - A[0]) * (C[1] - A[1]) - (B[1] - A[1]) * (C[0] - A[0])
+        assert area2 > 0
+        # empty circumcircle (Delaunay property), via the incircle determinant
+        for d in range(len(p)):
+            if d in (a, b, c):
+                continue
+            D = p[d]
+            m = np.array([
+                [A[0] - D[0], A[1] - D[1], (A[0] - D[0]) ** 2 + (A[1] - D[1]) ** 2],
+                [B[0] - D[0], B[1] - D[1], (B[0] - D[0]) ** 2 + (B[1] - D[1]) ** 2],
+                [C[0] - D[0], C[1] - D[1], (C[0] - D[0]) ** 2 + (C[1] - D[1]) ** 2],
+            ])
+            assert np.linalg.det(m) <= 1e-6 * np.abs(m).max() ** 3
+
+
+def test_native_delaunay_degenerate():
+    """Collinear and duplicate inputs must not crash or emit triangles."""
+    from sadvio_tpu.pipeline.native_io import native_delaunay
+
+    line = np.stack([np.arange(5, dtype=np.float32),
+                     np.arange(5, dtype=np.float32)], -1)
+    tris = native_delaunay(line)
+    if tris is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    assert len(tris) == 0
+    dup = np.zeros((4, 2), np.float32)
+    assert len(native_delaunay(dup)) == 0
