@@ -65,7 +65,36 @@ def _patch_coords(radius: int):
     return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # (S,2) in (u,v)
 
 
-def _templates(img0, uv0, warp, radius: int, min_eig: float):
+def _template_ws(radius: int, H: int, W: int) -> int:
+    """Template window side: sized for a scale<=2 warped halo patch; warps
+    beyond that are rejected upstream (track()'s det gate)."""
+    rh = radius + 1
+    return min(2 * (2 * rh + 2) + 2, H, W)
+
+
+def template_windows(img0, uv0, radius: int):
+    """Per-feature aligned windows around uv0 -- the image-extraction half
+    of template building, split out so the pipeline can CACHE it per
+    keyframe: uv0 (the KF feature positions) and img0 (the KF pyramid) are
+    constant between keyframes, while the affine warp changes per frame.
+    The per-feature dynamic_slice is the expensive part of the template
+    stage on TPU (~1.2 ms at N=512), so hoisting it from frame rate to KF
+    rate removes it from the tracking hot path.
+
+    Returns (wins (N,WS,WS), base (N,2)).
+    """
+    H, W = img0.shape
+    WS = _template_ws(radius, H, W)
+    ctr = jnp.floor(jnp.nan_to_num(uv0, nan=0.0, posinf=0.0, neginf=0.0))
+    base = jnp.clip(ctr - (WS // 2), 0.0,
+                    jnp.asarray([W - WS, H - WS], jnp.float32))
+    wins = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(img0, (b[1], b[0]), (WS, WS))
+    )(base.astype(jnp.int32))
+    return wins, base
+
+
+def _templates(img0, uv0, warp, radius: int, min_eig: float, tmpl_win=None):
     """Per-feature warped template patch, gradients and 2x2 normal matrix.
 
     Returns T/gx/gy (N,S,S), nrm (N,4)=[a,b,c,inv_det], good_grad (N,).
@@ -76,6 +105,9 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     the target-coordinate derivatives IC-LK needs (dT/du = nabla I0 . A e_u)
     -- this replaces the previous 5 gather passes (T, +-x, +-y) with 1 at
     identical semantics (0.5 px central steps -> 1.0 px central steps).
+
+    ``tmpl_win``: optional cached (wins, base) from template_windows(img0,
+    uv0, radius) -- pass it to skip the per-feature window extraction.
     """
     S = 2 * radius + 1
     rh = radius + 1
@@ -84,21 +116,17 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     offs2 = jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # ((S+2)^2,2)
     Sh = S + 2
     H, W = img0.shape
-    # per-feature aligned window sized for a scale<=2 warped halo patch;
-    # warps beyond that are rejected upstream (track()'s det gate)
-    WS = min(2 * (2 * rh + 2) + 2, H, W)
+    WS = _template_ws(radius, H, W)
 
     # TPU-idiomatic sampling: one aligned dynamic-slice window per feature,
     # then bilinear interpolation as separable row/col one-hot weight
-    # matrices contracted against the window -- einsums the MXU executes,
-    # instead of (S+2)^2 scattered HBM gathers per feature.
+    # matrices contracted against the window -- instead of (S+2)^2 scattered
+    # HBM gathers per feature.
     pts = uv0[:, None, :] + jnp.einsum("sj,nij->nsi", offs2, warp)
-    base = jnp.floor(jnp.min(pts, axis=1)) - 1.0
-    base = jnp.clip(base, 0.0, jnp.asarray([W - WS, H - WS], jnp.float32))
-    bi = base.astype(jnp.int32)
-    wins = jax.vmap(
-        lambda b: jax.lax.dynamic_slice(img0, (b[1], b[0]), (WS, WS))
-    )(bi)
+    if tmpl_win is None:
+        wins, base = template_windows(img0, uv0, radius)
+    else:
+        wins, base = tmpl_win
 
     loc = pts - base[:, None, :]
     ix = jnp.floor(loc[..., 0]).astype(jnp.int32)
@@ -108,15 +136,17 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     ix = jnp.clip(ix, 0, WS - 2)
     iy = jnp.clip(iy, 0, WS - 2)
     # bilinear weights factorize as w(r,c) = wy(r) * wx(c): two small
-    # (N,S2,WS) one-hot operands instead of one (N,S2,WS^2) -- ~15x less
-    # HBM traffic for the same MXU contraction (this einsum pair is the
-    # whole-frame KLT cost on TPU, so the factorization matters)
+    # (N,S2,WS) one-hot operands instead of one (N,S2,WS^2).  Spelled as
+    # fused broadcast-multiply-reduces, NOT einsums: batched tiny matmuls
+    # (s=169, r=c~30) lower to per-batch MXU calls ~20x off roofline, while
+    # the mul-reduce stays on the VPU at full width (same fix as the BA Hpl
+    # term; measured 1.9 ms -> ~0.3 ms per level at N=512).
     rowW = (jax.nn.one_hot(iy, WS) * (1 - fy)[..., None]
             + jax.nn.one_hot(iy + 1, WS) * fy[..., None])
     colW = (jax.nn.one_hot(ix, WS) * (1 - fx)[..., None]
             + jax.nn.one_hot(ix + 1, WS) * fx[..., None])
-    tmp = jnp.einsum("nsr,nrc->nsc", rowW, wins)
-    P = jnp.einsum("nsc,nsc->ns", tmp, colW).reshape(-1, Sh, Sh)
+    tmp = (rowW[:, :, :, None] * wins[:, None, :, :]).sum(2)  # (N,S2,WS)
+    P = (tmp * colW).sum(2).reshape(-1, Sh, Sh)
 
     T = P[:, 1:-1, 1:-1]
     gx = 0.5 * (P[:, 1:-1, 2:] - P[:, 1:-1, :-2])
@@ -133,20 +163,110 @@ def _templates(img0, uv0, warp, radius: int, min_eig: float):
     return T, gx, gy, nrm, good_grad
 
 
+_BWY = 32  # batched-engine window rows (patch S<=23 + drift margin)
+_BWX = 32  # batched-engine window cols
+
+
+def _iterate_batched(img1, uv_init, T, gx, gy, nrm, radius: int, iters: int):
+    """IC-LK iterations for ALL features at once, windows + fused sampling.
+
+    The third engine for the LK hot loop (alongside the Pallas kernel and
+    the per-feature gather path): one (N, 32, 32) window per feature is cut
+    from img1 ONCE (vmapped dynamic_slice), and every iteration samples all
+    N patches with separable 2-tap one-hot row/col weights contracted as
+    fused broadcast-multiply-reduces.  All N features advance together, so
+    the cost per iteration is one VPU-wide pass instead of N sequential
+    small-vector loops -- measured ~2x faster than the Pallas
+    one-window-per-feature kernel on the same chip (1.6 vs 3.2+1.9 ms/level
+    at N=512), because the Pallas kernel is bound by per-feature serial
+    issue, not by FLOPs.  Patch rows/cols are contiguous, so the integer
+    corner and the fractional weights are shared by the whole patch (the
+    same structure the Pallas kernel's roll exploits).
+
+    Returns (uv (N,2), err (N,), inwin (N,) window-interior validity).
+    """
+    N, S, _ = T.shape
+    H, W = img1.shape
+    half = (S - 1) // 2
+    dt_ = img1.dtype
+
+    uv_c = jnp.nan_to_num(uv_init, nan=0.0, posinf=0.0, neginf=0.0)
+    base = jnp.clip(
+        jnp.floor(uv_c) - jnp.asarray([_BWX // 2, _BWY // 2], dt_),
+        0.0,
+        jnp.asarray([max(W - _BWX, 0), max(H - _BWY, 0)], dt_),
+    )
+    bi = base.astype(jnp.int32)
+    wins = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(img1, (b[1], b[0]), (_BWY, _BWX))
+    )(bi)
+
+    ry = jnp.arange(_BWY, dtype=jnp.int32)
+    rx = jnp.arange(_BWX, dtype=jnp.int32)
+    srange = jnp.arange(S, dtype=dt_)
+
+    def sample(uvc):
+        """(N,S,S) bilinear patches at patch-corner position uvc - half."""
+        loc = uvc - base - half  # (N,2) window-local corner
+        px = loc[:, None, 0] + srange  # (N,S)
+        py = loc[:, None, 1] + srange
+        ix = jnp.floor(px)
+        iy = jnp.floor(py)
+        fx = (px - ix)[..., None]
+        fy = (py - iy)[..., None]
+        ix = jnp.clip(ix.astype(jnp.int32), 0, _BWX - 2)
+        iy = jnp.clip(iy.astype(jnp.int32), 0, _BWY - 2)
+        wy = ((iy[..., None] == ry) * (1.0 - fy)
+              + ((iy[..., None] + 1) == ry) * fy)  # (N,S,WY)
+        wx = ((ix[..., None] == rx) * (1.0 - fx)
+              + ((ix[..., None] + 1) == rx) * fx)  # (N,S,WX)
+        rows = (wy[:, :, :, None] * wins[:, None, :, :]).sum(2)  # (N,S,WX)
+        return (rows[:, :, None, :] * wx[:, None, :, :]).sum(3)  # (N,S,S)
+
+    a, b, c, inv_det = nrm[:, 0], nrm[:, 1], nrm[:, 2], nrm[:, 3]
+
+    def body(_, uvc):
+        e = sample(uvc) - T
+        bx = (e * gx).sum((1, 2))
+        by = (e * gy).sum((1, 2))
+        du = (c * bx - b * by) * inv_det
+        dv = (a * by - b * bx) * inv_det
+        return uvc - jnp.stack([du, dv], -1)
+
+    uv = jax.lax.fori_loop(0, iters, body, uv_c)
+    err = jnp.abs(sample(uv) - T).mean((1, 2))
+    # reject tracks whose sampling clamped at the window edge
+    loc = uv - base
+    inwin = (
+        (loc[:, 0] >= half) & (loc[:, 0] <= _BWX - half - 2)
+        & (loc[:, 1] >= half) & (loc[:, 1] <= _BWY - half - 2)
+    )
+    return uv, err, inwin
+
+
 def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
-                 min_eig: float, true_hw=None, use_pallas: bool = False):
+                 min_eig: float, true_hw=None, engine: str = "batched",
+                 tmpl_win=None):
     """One pyramid level of IC-LK for all features. uv in this level's scale.
 
     ``warp`` (N,2,2) maps target-patch offsets to template-patch offsets
     (SVO-style affine reference-patch warp).  It is dimensionless, so the
     same matrix applies at every pyramid level.  Identity = classic LK.
     ``true_hw``: unpadded level dims for the in-bounds gate (images may be
-    edge-padded for the Pallas window, see build_pyramid)."""
-    T, gx, gy, nrm, good_grad = _templates(img0, uv0, warp, radius, min_eig)
+    edge-padded for the Pallas window, see build_pyramid).
+
+    ``engine``: "batched" (default; all-features-at-once windowed sampling),
+    "pallas" (one-window-per-feature TPU kernel), "gather" (per-feature
+    bilinear gathers from the full image -- the portable baseline)."""
+    T, gx, gy, nrm, good_grad = _templates(img0, uv0, warp, radius, min_eig,
+                                           tmpl_win=tmpl_win)
     H, W = true_hw if true_hw is not None else img1.shape
     S = 2 * radius + 1
 
-    if use_pallas:
+    if engine == "batched":
+        uv, err, inwin = _iterate_batched(img1, uv1, T, gx, gy, nrm, radius, iters)
+        good_grad = good_grad & inwin
+    elif engine == "pallas":
         from sadvio_tpu.ops import klt_kernel
 
         out = klt_kernel.lk_iterate(img1, uv1, T, gx, gy, nrm, iters=iters)
@@ -181,12 +301,24 @@ def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
     return uv, good_grad & inb, err
 
 
-@partial(jax.jit, static_argnames=("levels", "radius", "iters", "use_pallas",
-                                   "bwd_levels"))
+def template_windows_pyr(pyr, uv0, levels: int, radius: int):
+    """Per-level cached template windows for track(tmpl_wins=...).
+
+    Call once per keyframe with the KF pyramid and KF feature positions;
+    the result feeds every subsequent frame's forward track.
+    """
+    return tuple(
+        template_windows(pyr[lvl], uv0 / (2.0 ** lvl), radius)
+        for lvl in range(levels)
+    )
+
+
+@partial(jax.jit, static_argnames=("levels", "radius", "iters", "iters_coarse",
+                                   "engine", "bwd_levels"))
 def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
-          iters: int = 10, min_eig: float = 1e-3, fb_thresh: float = 0.5,
-          max_err: float = 20.0, warp=None, use_pallas: bool = False,
-          bwd_levels: int = 1):
+          iters: int = 10, iters_coarse: int = 6, min_eig: float = 1e-3,
+          fb_thresh: float = 0.5, max_err: float = 20.0, warp=None,
+          engine: str = "batched", bwd_levels: int = 1, tmpl_wins=None):
     """Track features uv0 from pyramid pyr0 to pyr1 with initial guess uv_init.
 
     Returns (uv1, valid, err).  Forward-backward consistency < fb_thresh px
@@ -198,6 +330,16 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
     geometry-predicted warp when the camera moves toward/away from the
     scene -- pure-translation LK otherwise picks up a radial scale bias
     that masquerades as forward translation in the pose solve.
+
+    ``iters_coarse``: iteration count for pyramid levels > 0 -- coarse
+    levels only localize to ~a pixel before handing down, so fewer
+    iterations there cost nothing (the reference's epsilon-0.01 early exit
+    plays the same role per feature; here counts are static shapes).
+
+    ``tmpl_wins``: optional per-level (wins, base) from
+    template_windows_pyr(pyr0, uv0, ...) -- the KF-cacheable half of
+    template building, hoisting the per-feature window extraction off the
+    frame-rate path.  Only valid for the forward pass (pyr0/uv0-derived).
     """
     N = uv0.shape[0]
     if warp is None:
@@ -214,27 +356,34 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
 
     dims = pyramid_dims(pyr0[0].shape, levels)
 
-    def run(pa, pb, uv_a, uv_b0, A, use_levels):
+    def run(pa, pb, uv_a, uv_b0, A, use_levels, wins_pyr=None):
         uv = uv_b0 / (2 ** (use_levels - 1))
         ok = jnp.ones(uv_a.shape[0], bool)
         err = jnp.zeros(uv_a.shape[0], jnp.float32)
         for lvl in range(use_levels - 1, -1, -1):
             s = 2.0 ** lvl
             H_l, W_l = pb[lvl].shape
-            # the Pallas window kernel needs the level image to contain one
-            # full (WIN_Y, WIN_X) window; build_pyramid pads sub-levels up to
-            # it, so this gate only trips for pyramids built elsewhere
-            pallas_l = use_pallas and H_l >= 32 and W_l >= 256
+            # windowed engines need the level image to contain one full
+            # window ((32,256) pallas / (32,32) batched); build_pyramid pads
+            # sub-levels, so this only trips for pyramids built elsewhere
+            eng = engine
+            if engine == "pallas" and not (H_l >= 32 and W_l >= 256):
+                eng = "gather"
+            if engine == "batched" and not (H_l >= _BWY and W_l >= _BWX):
+                eng = "gather"
             uv, ok_l, err = _track_level(
-                pa[lvl], pb[lvl], uv_a / s, uv, A, radius, iters, min_eig,
-                true_hw=dims[lvl], use_pallas=pallas_l,
+                pa[lvl], pb[lvl], uv_a / s, uv, A, radius,
+                iters if lvl == 0 else iters_coarse, min_eig,
+                true_hw=dims[lvl], engine=eng,
+                tmpl_win=None if wins_pyr is None else wins_pyr[lvl],
             )
             ok = ok & ok_l
             if lvl > 0:
                 uv = uv * 2.0
         return uv, ok, err
 
-    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init, warp, levels)
+    uv1, ok_f, err = run(pyr0, pyr1, uv0, uv_init, warp, levels,
+                         wins_pyr=tmpl_wins)
     # backward pass starts AT the answer (uv0), so coarse levels add nothing
     # but cost: level-0-only refinement is the standard f-b check form
     # (the 0.5 px gate below is the same as Point2DFeatureTracker.cpp:104)

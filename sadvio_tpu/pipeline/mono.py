@@ -69,6 +69,7 @@ class MonoSLAM(StereoSLAM):
         uv1, ok, _ = klt.track(
             pyr0[0], pyr_new[0], uv0, uv_prev, valid,
             levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+            engine=self.klt_engine,
         )
         r0 = cam0.backproject(uv0)
         r1 = cam0.backproject(uv1)

@@ -46,6 +46,7 @@ class NoFovSLAM(MonoSLAM):
         uv1, ok, _ = klt.track(
             pyr_kf[1], pyr_new[1], uv_kf, uv_kf, valid,
             levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+            engine=self.klt_engine,
         )
         return uv1, ok
 

@@ -72,10 +72,13 @@ class StereoSLAM:
         self.caps = config.caps
         self.vio = config.slam_mode.endswith("vio")
         self.imu_params = imu_params or imu_mod.ImuParams.euroc()
-        # the Pallas LK kernel is ~1000x the XLA gather path on TPU; it
-        # requires a real TPU backend (mosaic) and level width >= 256.
+        # LK engine: the Pallas one-window-per-feature kernel wins on real
+        # TPU hardware (predicated-roll iteration out of VMEM); "batched"
+        # (all-features-at-once windowed sampling, pure XLA) is the fastest
+        # portable path and ~200x the per-feature gather baseline.
         # "axon" is this machine's tunneled-TPU plugin (mosaic-capable).
-        self.use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        self.klt_engine = "pallas" if on_tpu else "batched"
         K, L, P = self.caps.K, self.caps.L, self.caps.P
         C = rig.C
         self.C = C
@@ -95,6 +98,7 @@ class StereoSLAM:
         self.v_cur = jnp.zeros(3)
         self.dT = (jnp.eye(3), jnp.zeros(3))  # constant-velocity model
         self.kf_pyr = None  # pyramid of the last keyframe (tracking template)
+        self.kf_tmpl = None  # cached per-level template windows (KF rate)
         self.n_kf = 0
         self.key = jax.random.PRNGKey(seed)
         self.initialized = False
@@ -154,6 +158,15 @@ class StereoSLAM:
         )
 
     @partial(jax.jit, static_argnames=("self",))
+    def _template_cache(self, pyr_new, uv_kf0):
+        """KF-rate half of template building: per-level aligned windows
+        around the new KF's cam0 features (template_windows_pyr).  Hoists
+        the per-feature dynamic_slice extraction off the frame-rate path."""
+        return klt.template_windows_pyr(
+            pyr_new[0], uv_kf0, self.caps.pyr_levels, self.caps.klt_radius
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
     def _pack_pose(self, R, t):
         """12-float pose pack: ONE device->host fetch instead of two."""
         return jnp.concatenate([R.reshape(-1), t])
@@ -171,7 +184,8 @@ class StereoSLAM:
         return jnp.asarray(frame.images)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred, t_pred, key):
+    def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred,
+                  t_pred, key, kf_tmpl=None):
         """Track cam0 from the last-KF template, PnP-predict, epipolar-gate.
 
         Tracking is always keyframe->current (slamCore.cpp:339 trackFeatures
@@ -235,7 +249,7 @@ class StereoSLAM:
             uv1, ok, err = klt.track(
                 pyr_kf[0], pyr_new[0], tracks.uv_kf[0], init, tracks.valid[0],
                 levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
-                warp=A, use_pallas=self.use_pallas,
+                warp=A, engine=self.klt_engine, tmpl_wins=kf_tmpl,
             )
 
         # PnP on tracks with triangulated landmarks
@@ -352,7 +366,7 @@ class StereoSLAM:
         uv1, ok1, _ = klt.track(
             pyr_new[0], pyr_new[1], new_uv0, new_uv0, new_v0,
             levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
-            use_pallas=self.use_pallas,
+            engine=self.klt_engine,
         )
         # epipolar gate between the two cameras (static extrinsics)
         R_01, t_01 = geo.pose_compose(
@@ -594,6 +608,7 @@ class StereoSLAM:
             self.pre_cur = imu_mod.Preintegration.identity()
             self._imu_n = 0
             self.kf_pyr = pyr_new
+            self.kf_tmpl = self._template_cache(pyr_new, self.tracks.uv_kf[0])
             self.initialized = True
             self.kf_ts.append(frame.ts)
             self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
@@ -604,7 +619,7 @@ class StereoSLAM:
         R_pred, t_pred, v_pred = self._predict_pose(frame)
         (self.tracks, R_new, t_new, health) = self._frontend(
             self.kf_pyr, pyr_new, self.tracks, self.window,
-            R_pred, t_pred, self._next_key(),
+            R_pred, t_pred, self._next_key(), kf_tmpl=self.kf_tmpl,
         )
         health_h = np.asarray(health)  # ONE device->host fetch (health + pose)
         pnp_ok_h = bool(health_h[0] > 0.5)
@@ -677,6 +692,7 @@ class StereoSLAM:
         self.n_kf += 1
         self.kf_ts.append(frame.ts)
         self.kf_pyr = pyr_new
+        self.kf_tmpl = self._template_cache(pyr_new, self.tracks.uv_kf[0])
         self.pre_cur = imu_mod.Preintegration.identity().replace(
             ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
         )

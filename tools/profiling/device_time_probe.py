@@ -31,10 +31,14 @@ def devtime(name, fn, n=20):
 pyr = devtime("pyramids", lambda: slam._pyramids(dev))
 Rp, tp, vp = slam._predict_pose(f)
 key = slam._next_key()
-devtime("frontend", lambda: slam._frontend(slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, key))
-devtime("klt.track", lambda: klt.track(
+devtime("frontend", lambda: slam._frontend(slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, key, kf_tmpl=slam.kf_tmpl))
+devtime("frontend nocache", lambda: slam._frontend(slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, key))
+devtime("klt.track pallas+cache", lambda: klt.track(
     slam.kf_pyr[0], pyr[0], slam.tracks.uv_kf[0], slam.tracks.uv[0], slam.tracks.valid[0],
-    levels=4, radius=5, use_pallas=True))
+    levels=4, radius=5, engine="pallas", tmpl_wins=slam.kf_tmpl))
+devtime("klt.track pallas", lambda: klt.track(
+    slam.kf_pyr[0], pyr[0], slam.tracks.uv_kf[0], slam.tracks.uv[0], slam.tracks.valid[0],
+    levels=4, radius=5, engine="pallas"))
 
 # KLT internals: templates (XLA einsum path) vs pallas iterate, per level
 uv = slam.tracks.uv_kf[0]

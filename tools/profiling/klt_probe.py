@@ -48,4 +48,4 @@ dev2 = slam._upload_images(f); jax.block_until_ready(dev2)
 pyr2 = timed("pyramids exec", slam._pyramids, dev2)
 timed("frontend exec", slam._frontend, slam.kf_pyr, pyr2, slam.tracks, slam.window, Rp, tp, slam._next_key())
 from sadvio_tpu.frontend import klt as kltm, pnp as pnpm
-timed("klt exec", kltm.track, slam.kf_pyr[0], pyr2[0], slam.tracks.uv_kf[0], slam.tracks.uv[0], slam.tracks.valid[0], levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius, use_pallas=slam.use_pallas)
+timed("klt exec", kltm.track, slam.kf_pyr[0], pyr2[0], slam.tracks.uv_kf[0], slam.tracks.uv[0], slam.tracks.valid[0], levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius, engine=slam.klt_engine)

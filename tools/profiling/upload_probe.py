@@ -31,7 +31,7 @@ Rp, tp, vp = slam._predict_pose(f)
 bench("frontend(all)", slam._frontend, slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, slam._next_key())
 bench("klt.track(one dir x2 eq)", lambda: klt.track(
     slam.kf_pyr[0], pyr[0], slam.tracks.uv_kf[0], slam.tracks.uv[0], slam.tracks.valid[0],
-    levels=4, radius=5, use_pallas=True))
+    levels=4, radius=5, engine="batched"))
 bench("pnp_ransac", pnp.pnp_ransac, jax.tree.map(lambda x: x[0] if hasattr(x, 'ndim') and x.ndim else x, slam.rig.cam),
       slam.rig.R_f_s[0], slam.rig.t_f_s[0], slam.window.lmk, slam.tracks.uv[0],
       slam.tracks.valid[0] & slam.tracks.has3d, Rp, tp, slam._next_key())
