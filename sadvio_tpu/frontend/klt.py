@@ -356,7 +356,7 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
 
     dims = pyramid_dims(pyr0[0].shape, levels)
 
-    def run(pa, pb, uv_a, uv_b0, A, use_levels, wins_pyr=None):
+    def run(pa, pb, uv_a, uv_b0, A, use_levels, wins_pyr=None, is_bwd=False):
         uv = uv_b0 / (2 ** (use_levels - 1))
         ok = jnp.ones(uv_a.shape[0], bool)
         err = jnp.zeros(uv_a.shape[0], jnp.float32)
@@ -371,9 +371,11 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
                 eng = "gather"
             if engine == "batched" and not (H_l >= _BWY and W_l >= _BWX):
                 eng = "gather"
+            # the backward pass starts AT the converged answer, so it only
+            # polishes within the fb threshold -- coarse iteration count
             uv, ok_l, err = _track_level(
                 pa[lvl], pb[lvl], uv_a / s, uv, A, radius,
-                iters if lvl == 0 else iters_coarse, min_eig,
+                iters if (lvl == 0 and not is_bwd) else iters_coarse, min_eig,
                 true_hw=dims[lvl], engine=eng,
                 tmpl_win=None if wins_pyr is None else wins_pyr[lvl],
             )
@@ -387,7 +389,7 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
     # backward pass starts AT the answer (uv0), so coarse levels add nothing
     # but cost: level-0-only refinement is the standard f-b check form
     # (the 0.5 px gate below is the same as Point2DFeatureTracker.cpp:104)
-    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0, inv, bwd_levels)
+    uv0_back, ok_b, _ = run(pyr1, pyr0, uv1, uv0, inv, bwd_levels, is_bwd=True)
     fb = jnp.linalg.norm(uv0_back - uv0, axis=-1)
     valid = valid0 & ok_f & ok_b & (fb < fb_thresh) & (err < max_err)
     return uv1, valid, err
