@@ -74,3 +74,50 @@ def test_sharded_ba_2d_mesh_matches_single_device():
     np.testing.assert_allclose(
         float(sh_stats["cost"]), float(ref_stats["cost"]), rtol=1e-3
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multiseq_batch_matches_individual():
+    """DP axis: B independent window problems solved in one sharded batch
+    must match per-problem solves."""
+    import __graft_entry__ as g
+    from sadvio_tpu.parallel import multiseq
+
+    B = 8
+    problems = [g._tiny_problem(K=4, C=2, L=64, P=8, seed=s) for s in range(B)]
+    opts = ba.BAOptions(iters=3)
+
+    batched = multiseq.stack_problems(problems)
+    mesh = multiseq.make_seq_mesh(8)
+    bstate, bstats = multiseq.ba_solve_batch(batched, opts, mesh)
+    states = multiseq.unstack_states(bstate, B)
+
+    for i in (0, 3, 7):
+        ref, _ = ba.ba_solve(problems[i], opts)
+        np.testing.assert_allclose(np.asarray(states[i].t), np.asarray(ref.t),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(states[i].R), np.asarray(ref.R),
+                                   atol=1e-4)
+
+
+def test_pipeline_parallel_executor():
+    """PP axis: the backend executor solves on its device and returns the
+    same state as an inline solve; submit is non-blocking by construction."""
+    import __graft_entry__ as g
+    from sadvio_tpu.parallel.pipeline_parallel import BackendExecutor
+
+    problem = g._tiny_problem(K=4, C=2, L=64, P=8)
+    opts = ba.BAOptions(iters=3)
+    ref, _ = ba.ba_solve(problem, opts)
+
+    ex = BackendExecutor(device=jax.devices()[-1], opts=opts)
+    ex.submit(problem)
+    assert ex.busy
+    with pytest.raises(RuntimeError):
+        ex.submit(problem)
+    state, stats = ex.collect(to_device=jax.devices()[0])
+    assert not ex.busy
+    np.testing.assert_allclose(np.asarray(state.t), np.asarray(ref.t), atol=1e-4)
+    assert state.t.devices() == {jax.devices()[0]}
+    with pytest.raises(RuntimeError):
+        ex.collect()
