@@ -175,6 +175,42 @@ def bilinear_sample(img, uv):
     )
 
 
+def window_sample(img, centers, pts, ws: int):
+    """Bilinear-sample pts (N,S,2) via one aligned (ws,ws) window per row.
+
+    Returns (values (N,S), inwin (N,S)).  Points outside their window are
+    clamp-sampled and flagged False.  The per-row window (one vmapped
+    dynamic_slice) + separable one-hot weight contraction replaces N*S
+    scattered image gathers -- the TPU sampling pattern shared by the KLT
+    template stage, the mesh ZNCC patches, and the BRIEF descriptor pairs.
+    """
+    H, W = img.shape
+    ws = min(ws, H, W)
+    c = jnp.nan_to_num(centers, nan=0.0, posinf=0.0, neginf=0.0)
+    base = jnp.clip(jnp.floor(c) - (ws // 2), 0.0,
+                    jnp.asarray([W - ws, H - ws], jnp.float32))
+    wins = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(img, (b[1], b[0]), (ws, ws))
+    )(base.astype(jnp.int32))
+
+    loc = pts - base[:, None, :]
+    ix = jnp.floor(loc[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(loc[..., 1]).astype(jnp.int32)
+    fx = loc[..., 0] - ix
+    fy = loc[..., 1] - iy
+    inwin = (ix >= 0) & (ix <= ws - 2) & (iy >= 0) & (iy <= ws - 2)
+    ix = jnp.clip(ix, 0, ws - 2)
+    iy = jnp.clip(iy, 0, ws - 2)
+    rowW = (jax.nn.one_hot(iy, ws) * (1 - fy)[..., None]
+            + jax.nn.one_hot(iy + 1, ws) * fy[..., None])  # (N,S,ws)
+    colW = (jax.nn.one_hot(ix, ws) * (1 - fx)[..., None]
+            + jax.nn.one_hot(ix + 1, ws) * fx[..., None])
+    rows = jax.lax.dot_general(rowW, wins, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)  # (N,S,ws)
+    vals = jnp.sum(rows * colW, axis=-1)
+    return vals, inwin
+
+
 def brief_describe(img_smooth, uv):
     """256-bit BRIEF descriptors packed as (N, 8) uint32.
 
@@ -183,10 +219,13 @@ def brief_describe(img_smooth, uv):
     is intentionally omitted (KLT is the primary tracker, matching uses
     predicted search boxes -- afeaturematcher.cpp:7-63).
     """
-    pa = uv[:, None, :] + _BRIEF[0][None]
-    pb = uv[:, None, :] + _BRIEF[1][None]
-    va = bilinear_sample(img_smooth, pa)
-    vb = bilinear_sample(img_smooth, pb)
+    # both pair endpoints sampled from ONE window per feature (the BRIEF
+    # patch is 24 px wide) instead of N*512 scattered gathers
+    pts = jnp.concatenate([uv[:, None, :] + _BRIEF[0][None],
+                           uv[:, None, :] + _BRIEF[1][None]], axis=1)
+    vals, _ = window_sample(img_smooth, uv, pts, ws=32)
+    n = _BRIEF[0].shape[0]
+    va, vb = vals[:, :n], vals[:, n:]
     bits = (va > vb).astype(jnp.uint32)  # (N, 256)
     bits = bits.reshape(uv.shape[0], 8, 32)
     weights = (1 << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)

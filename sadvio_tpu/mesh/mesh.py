@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sadvio_tpu.frontend.detect import bilinear_sample
+from sadvio_tpu.frontend.detect import bilinear_sample, window_sample
 from sadvio_tpu.models import cameras
 from sadvio_tpu.utils import geometry as geo
 
@@ -169,40 +169,10 @@ def _zncc(a, b, axis=-1, eps=1e-6):
     return num / jnp.maximum(den, eps)
 
 
-def _window_sample(img, centers, pts, ws: int = 18):
-    """Bilinear-sample pts (T,S,2) via one aligned (ws,ws) window per row.
-
-    Returns (values (T,S), inwin (T,S)).  Points outside their window are
-    clamp-sampled and flagged False.  The per-row window + separable one-hot
-    contraction replaces T*S scattered image gathers (the KLT template
-    stage's TPU pattern, reused for the mesh ZNCC patches).
-    """
-    H, W = img.shape
-    ws = min(ws, H, W)
-    T, S = pts.shape[:2]
-    c = jnp.nan_to_num(centers, nan=0.0, posinf=0.0, neginf=0.0)
-    base = jnp.clip(jnp.floor(c) - (ws // 2), 0.0,
-                    jnp.asarray([W - ws, H - ws], jnp.float32))
-    wins = jax.vmap(
-        lambda b: jax.lax.dynamic_slice(img, (b[1], b[0]), (ws, ws))
-    )(base.astype(jnp.int32))
-
-    loc = pts - base[:, None, :]
-    ix = jnp.floor(loc[..., 0]).astype(jnp.int32)
-    iy = jnp.floor(loc[..., 1]).astype(jnp.int32)
-    fx = loc[..., 0] - ix
-    fy = loc[..., 1] - iy
-    inwin = (ix >= 0) & (ix <= ws - 2) & (iy >= 0) & (iy <= ws - 2)
-    ix = jnp.clip(ix, 0, ws - 2)
-    iy = jnp.clip(iy, 0, ws - 2)
-    rowW = (jax.nn.one_hot(iy, ws) * (1 - fy)[..., None]
-            + jax.nn.one_hot(iy + 1, ws) * fy[..., None])  # (T,S,ws)
-    colW = (jax.nn.one_hot(ix, ws) * (1 - fx)[..., None]
-            + jax.nn.one_hot(ix + 1, ws) * fx[..., None])
-    rows = jax.lax.dot_general(rowW, wins, (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)  # (T,S,ws)
-    vals = jnp.sum(rows * colW, axis=-1)
-    return vals, inwin
+# shared batched window sampler (one dynamic_slice window per row +
+# separable one-hot contraction) -- lives in frontend/detect.py, used here
+# for the per-triangle ZNCC patches
+_window_sample = window_sample
 
 
 @partial(jax.jit, static_argnames=("patch_half",))
