@@ -25,7 +25,13 @@ import numpy as np
 
 BASELINE_MS_PER_ITER = 10.0
 ITERS = 20
-CHAIN = 10
+# Two-point slope: t(CHAIN_B) - t(CHAIN_A) cancels the fixed per-fetch
+# tunnel round trip (~26-33 ms) exactly, so the metric reads device
+# throughput.  Chains deeper than ~20 unfetched solves deadlock the axon
+# tunnel's queue, so the long chain stays at 20.
+CHAIN_A = 5
+CHAIN_B = 20
+REPS = 3
 
 
 def main():
@@ -46,15 +52,19 @@ def main():
             state, stats = ba.ba_solve(p, opts)
         return state
 
+    def timed(n):
+        t0 = time.perf_counter()
+        out = chain(problem, n)
+        s = float(np.asarray(out.t).sum())  # forces the whole chain
+        assert np.isfinite(s)
+        return time.perf_counter() - t0
+
     # compile + warm, forced by a value fetch
     float(np.asarray(chain(problem, 1).t).sum())
 
-    t0 = time.perf_counter()
-    out = chain(problem, CHAIN)
-    s = float(np.asarray(out.t).sum())  # forces the whole chain
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    ms_per_iter = dt * 1000.0 / (ITERS * CHAIN)
+    dt_a = min(timed(CHAIN_A) for _ in range(REPS))
+    dt_b = min(timed(CHAIN_B) for _ in range(REPS))
+    ms_per_iter = (dt_b - dt_a) * 1000.0 / (ITERS * (CHAIN_B - CHAIN_A))
 
     print(json.dumps({
         "metric": "vio_window_ba_ms_per_iter_w10_l512",

@@ -161,20 +161,40 @@ def _apply_dense_delta(state: WindowState, priors: PriorSet, dxd):
     return state.replace(R=R, t=t, v=v, ba=ba, bg=bg, lmk=lmk)
 
 
+def _retained_lmk(state: WindowState, priors: PriorSet):
+    """(P,3) positions of the prior-retained landmarks (zeros for empty slots)."""
+    lmk_ext = jnp.concatenate([state.lmk, jnp.zeros((1, 3), state.lmk.dtype)])
+    idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, state.L)
+    return lmk_ext[idx]
+
+
 def _dense_residuals(state: WindowState, imu: ImuChain, priors: PriorSet, opts: BAOptions):
     """All whitened non-reprojection residuals, masked, as one flat vector."""
-    K = state.K
+    pl = _retained_lmk(state, priors)
+    return _dense_residuals_pl(
+        state.R, state.t, state.v, state.ba, state.bg, pl, imu, priors, opts
+    )
+
+
+def _dense_residuals_pl(Rk, tk, vk, bak, bgk, pl, imu: ImuChain, priors: PriorSet,
+                        opts: BAOptions):
+    """Dense-factor residuals parameterized by per-KF states + retained
+    landmarks directly -- the jacfwd in the solver differentiates through this
+    (P,3) surface instead of a scatter/gather round trip over the full (L,3)
+    landmark array (which would drag an L-sized tangent through every factor).
+    """
+    K = Rk.shape[0]
 
     # IMU preintegration factors between consecutive slots (k, k+1)
     def imu_r(pre, m, k):
         W = imu_mod.sqrt_info(pre)
         r = factors.imu_factor_residual(
             pre, W,
-            state.R[k], state.t[k], state.v[k], state.ba[k], state.bg[k],
-            state.R[k + 1], state.t[k + 1], state.v[k + 1],
+            Rk[k], tk[k], vk[k], bak[k], bgk[k],
+            Rk[k + 1], tk[k + 1], vk[k + 1],
         )
         rb = factors.bias_rw_residual(
-            state.ba[k], state.bg[k], state.ba[k + 1], state.bg[k + 1],
+            bak[k], bgk[k], bak[k + 1], bgk[k + 1],
             pre.dt, opts.acc_walk, opts.gyr_walk,
         )
         return jnp.where(m, r, 0.0), jnp.where(m, rb, 0.0)
@@ -185,7 +205,7 @@ def _dense_residuals(state: WindowState, imu: ImuChain, priors: PriorSet, opts: 
     # 15-dof state priors per KF
     def sp_r(k):
         r = factors.state_prior_residual(
-            state.R[k], state.t[k], state.v[k], state.ba[k], state.bg[k],
+            Rk[k], tk[k], vk[k], bak[k], bgk[k],
             priors.sp_R[k], priors.sp_t[k], priors.sp_v[k], priors.sp_ba[k],
             priors.sp_bg[k], priors.sp_sqrt_info[k],
         )
@@ -193,16 +213,11 @@ def _dense_residuals(state: WindowState, imu: ImuChain, priors: PriorSet, opts: 
 
     r_sp = jax.vmap(sp_r)(jnp.arange(K))
 
-    # retained landmark positions
-    lmk_ext = jnp.concatenate([state.lmk, jnp.zeros((1, 3), state.lmk.dtype)])
-    idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, state.L)
-    pl = lmk_ext[idx]  # (P,3)
-
     r_lp = jnp.einsum("pab,pb->pa", priors.lp_sqrt_info, pl - priors.lp_val)
     r_lp = jnp.where(priors.lp_mask[:, None], r_lp, 0.0)
 
-    Rf = state.R[priors.plp_frame]
-    tf = state.t[priors.plp_frame]
+    Rf = Rk[priors.plp_frame]
+    tf = tk[priors.plp_frame]
     p_f = jnp.einsum("pji,pj->pi", Rf, pl - tf)
     r_plp = jnp.einsum("pab,pb->pa", priors.plp_sqrt_info, p_f - priors.plp_val)
     r_plp = jnp.where(priors.plp_mask[:, None], r_plp, 0.0)
@@ -223,8 +238,30 @@ def _dense_residuals(state: WindowState, imu: ImuChain, priors: PriorSet, opts: 
 # ---------------------------------------------------------------------------
 
 
-def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
-    """Linearize at the problem state, solve the damped system, return deltas."""
+class _Lin(NamedTuple):
+    """Everything the damped solve needs, cached at one linearization point.
+
+    Deferred-acceptance LM: each iteration linearizes ONCE (at the trial
+    point) and that linearization doubles as the acceptance cost AND, if the
+    step is accepted, as the next iteration's normal equations -- the
+    reference evaluates cost and Jacobians separately per Ceres iteration.
+    Only the LM damping (lam) is applied per-solve; everything lam-independent
+    lives here.
+    """
+
+    Hll: jnp.ndarray      # (L,3,3) per-landmark normal blocks
+    bl: jnp.ndarray       # (L,3)
+    Hpl: jnp.ndarray      # (K,L,6,3) pose-landmark coupling
+    Hpp: jnp.ndarray      # (K,6,6)
+    bp: jnp.ndarray       # (K,6)
+    H: jnp.ndarray        # (Dd,Dd) dense base: small factors + retained scatter
+    b: jnp.ndarray        # (Dd,)
+    cost: jnp.ndarray     # () true-Huber robust cost at this point
+
+
+def _linearize(problem: BAProblem, opts: BAOptions) -> _Lin:
+    """Linearize every factor at the problem state; assemble the
+    lam-independent normal equations and the robust cost."""
     state, obs, rig, imu, priors = (
         problem.state, problem.obs, problem.rig, problem.imu, problem.priors,
     )
@@ -236,8 +273,6 @@ def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
     r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
 
     slot = slot_of_lmk(priors, L)
-    retained = slot < P
-    elim = state.lmk_mask & ~retained
 
     # per-landmark accumulations (sum over K,C)
     wJl = w[..., None, None] * Jl
@@ -257,38 +292,39 @@ def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
     bl_ret = jnp.einsum("lp,li->pi", S, bl)
     Hx = jnp.einsum("lp,klij->kpij", S, Hpl)  # (K,P,6,3)
 
-    # eliminated blocks, LM-damped before inversion
-    em = elim.astype(dt_)
-    Hll_e = Hll * em[:, None, None]
-    bl_e = bl * em[:, None]
-    Hpl_e = Hpl * em[None, :, None, None]
-    dll = jnp.abs(jnp.diagonal(Hll_e, axis1=-2, axis2=-1))  # (L,3)
-    damp = lam * dll + opts.jitter + (1.0 - em[:, None])
-    Hll_d = Hll_e + jax.vmap(jnp.diag)(damp)
-    Hll_inv = geo.inv3x3(Hll_d) * em[:, None, None]
-    W_kl = jnp.einsum("klij,ljm->klim", Hpl_e, Hll_inv)
-    Hred_corr = -jnp.einsum("klab,qlcb->kqac", W_kl, Hpl_e)  # (K,K,6,6)
-    bred_corr = -jnp.einsum("klab,lb->ka", W_kl, bl_e)
+    # dense normal equations from small factors, differentiated over the
+    # (K*D + P*3) delta with the retained landmarks addressed directly (no
+    # L-sized scatter in the tangent path).  NOTE a per-factor compact-chart
+    # linearization (30-wide IMU blocks etc.) was tried and measured SLOWER
+    # on TPU than this one wide jacfwd -- XLA fuses the 309-tangent sweep
+    # through the small factor graph into a handful of kernels, while
+    # per-factor assembly fragments into many tiny ones.
+    pl0 = _retained_lmk(state, priors)
 
-    # dense normal equations from small factors (autodiff at zero delta)
     def rfun(dxd):
-        st = _apply_dense_delta(state, priors, dxd)
-        return _dense_residuals(st, imu, priors, opts)
+        dk = dxd[: K * D].reshape(K, D)
+        Rk, tk = geo.pose_retract(state.R, state.t, dk[:, :6])
+        vk = state.v + dk[:, 6:9]
+        bak = state.ba + dk[:, 9:12]
+        bgk = state.bg + dk[:, 12:15]
+        dl = dxd[K * D :].reshape(P, 3)
+        pl = pl0 + jnp.where(priors.prior_slot_mask[:, None], dl, 0.0)
+        return _dense_residuals_pl(Rk, tk, vk, bak, bgk, pl, imu, priors, opts)
 
     dx0 = jnp.zeros((Dd,), dt_)
     r_dense = rfun(dx0)
     J_dense = jax.jacfwd(rfun)(dx0)
     H = J_dense.T @ J_dense
     b = -J_dense.T @ r_dense
+    dense_sq = jnp.sum(r_dense * r_dense)
 
-    # scatter reprojection blocks into the dense system
+    # scatter the lam-independent reprojection blocks into the dense system
     H4 = H[: K * D, : K * D].reshape(K, D, K, D)
-    Hpp_full = Hpp[:, None] * jnp.eye(K, dtype=dt_)[:, :, None, None] + Hred_corr
-    H4 = H4.at[:, :6, :, :6].add(jnp.swapaxes(Hpp_full, 1, 2))
+    Hpp_diag = Hpp[:, None] * jnp.eye(K, dtype=dt_)[:, :, None, None]
+    H4 = H4.at[:, :6, :, :6].add(jnp.swapaxes(Hpp_diag, 1, 2))
     H = H.at[: K * D, : K * D].set(H4.reshape(K * D, K * D))
-    bp_full = bp + bred_corr
     b = b.at[: K * D].add(
-        jnp.concatenate([bp_full, jnp.zeros((K, D - 6), dt_)], axis=1).reshape(-1)
+        jnp.concatenate([bp, jnp.zeros((K, D - 6), dt_)], axis=1).reshape(-1)
     )
 
     Hd = H[K * D :, K * D :].reshape(P, 3, P, 3)
@@ -301,6 +337,45 @@ def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
     Hc2 = Hc.reshape(K * D, P * 3)
     H = H.at[: K * D, K * D :].set(Hc2)
     H = H.at[K * D :, : K * D].set(Hc2.T)
+
+    # true-Huber robust cost at this linearization point
+    rn = jnp.linalg.norm(r, axis=-1)
+    d = opts.huber
+    rho = jnp.where(rn <= d, rn * rn, 2.0 * d * rn - d * d)
+    cost = jnp.sum(m * rho) + dense_sq
+
+    return _Lin(Hll, bl, Hpl, Hpp, bp, H, b, cost)
+
+
+def _solve_from_lin(lin: _Lin, problem: BAProblem, opts: BAOptions, free, lam):
+    """Damp + Schur-eliminate + Cholesky-solve the cached normal equations."""
+    state, priors = problem.state, problem.priors
+    K, L, P = state.K, state.L, priors.P
+    Dd = K * D + P * 3
+    dt_ = state.lmk.dtype
+
+    slot = slot_of_lmk(priors, L)
+    elim = state.lmk_mask & ~(slot < P)
+
+    # eliminated blocks, LM-damped before inversion
+    em = elim.astype(dt_)
+    Hll_e = lin.Hll * em[:, None, None]
+    bl_e = lin.bl * em[:, None]
+    Hpl_e = lin.Hpl * em[None, :, None, None]
+    dll = jnp.abs(jnp.diagonal(Hll_e, axis1=-2, axis2=-1))  # (L,3)
+    damp = lam * dll + opts.jitter + (1.0 - em[:, None])
+    Hll_d = Hll_e + jax.vmap(jnp.diag)(damp)
+    Hll_inv = geo.inv3x3(Hll_d) * em[:, None, None]
+    W_kl = jnp.einsum("klij,ljm->klim", Hpl_e, Hll_inv)
+    Hred_corr = -jnp.einsum("klab,qlcb->kqac", W_kl, Hpl_e)  # (K,K,6,6)
+    bred_corr = -jnp.einsum("klab,lb->ka", W_kl, bl_e)
+
+    H4 = lin.H[: K * D, : K * D].reshape(K, D, K, D)
+    H4 = H4.at[:, :6, :, :6].add(jnp.swapaxes(Hred_corr, 1, 2))
+    H = lin.H.at[: K * D, : K * D].set(H4.reshape(K * D, K * D))
+    b = lin.b.at[: K * D].add(
+        jnp.concatenate([bred_corr, jnp.zeros((K, D - 6), dt_)], axis=1).reshape(-1)
+    )
 
     # freeze masked dims, Jacobi-equilibrate (the dense system mixes IMU info
     # ~1e8 with reprojection info ~1e2 -- f32 Cholesky needs unit diagonal),
@@ -321,6 +396,12 @@ def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
     dl = jnp.einsum("lij,lj->li", Hll_inv, rhs)
     dl = jnp.where(elim[:, None], dl, 0.0)
     return dxd, dl, ok
+
+
+def _lm_step(problem: BAProblem, opts: BAOptions, free, lam):
+    """Linearize at the problem state, solve the damped system, return deltas."""
+    lin = _linearize(problem, opts)
+    return _solve_from_lin(lin, problem, opts, free, lam)
 
 
 def _free_mask(problem: BAProblem):
@@ -353,23 +434,27 @@ def _ba_solve_impl(problem: BAProblem, opts: BAOptions, n_iters: int):
     free = _free_mask(problem)
 
     def iteration(carry, _):
-        state, lam, cost = carry
-        prob = problem._replace(state=state)
-        dxd, dl, ok = _lm_step(prob, opts, free, lam)
+        state, lin, lam, cost = carry
+        dxd, dl, ok = _solve_from_lin(lin, problem._replace(state=state), opts, free, lam)
         trial = _apply_dense_delta(state, problem.priors, dxd)
         trial = trial.replace(lmk=trial.lmk + dl)
-        new_cost = robust_cost(problem._replace(state=trial), opts)
+        # ONE linearization per iteration: it yields the acceptance cost now
+        # and, if accepted, the next iteration's normal equations.
+        lin_t = _linearize(problem._replace(state=trial), opts)
+        new_cost = lin_t.cost
         accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
         state = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), trial, state)
+        lin = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), lin_t, lin)
         lam = jnp.clip(
             jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up), 1e-9, 1e6
         )
         cost = jnp.where(accept, new_cost, cost)
-        return (state, lam, cost), (cost, accept)
+        return (state, lin, lam, cost), (cost, accept)
 
-    cost0 = robust_cost(problem, opts)
-    (state, lam, cost), (costs, accepts) = jax.lax.scan(
-        iteration, (problem.state, opts.lam_init, cost0), None, length=n_iters
+    lin0 = _linearize(problem, opts)
+    cost0 = lin0.cost
+    (state, lin, lam, cost), (costs, accepts) = jax.lax.scan(
+        iteration, (problem.state, lin0, opts.lam_init, cost0), None, length=n_iters
     )
     return state, {"cost0": cost0, "cost": cost, "costs": costs, "accepted": accepts}
 
