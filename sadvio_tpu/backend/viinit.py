@@ -86,16 +86,29 @@ def vi_init(R, t, kf_mask, imu_chain, *, optimize_scale: bool = False,
 
     x0 = jnp.zeros((dim,))
     r0 = residuals(x0)
+    c0 = jnp.sum(r0 * r0)
 
-    def gn(i, x):
+    def lm(carry, _):
+        # accept/reject damped step: plain GN oscillates on some windows
+        # (overshoots on the gravity 2-dof when velocity is weakly excited)
+        x, lam, cost = carry
         r = residuals(x)
         J = jax.jacfwd(residuals)(x)
-        H = J.T @ J + jnp.eye(dim) * 1e-6
+        H = J.T @ J
+        H = H + (lam * jnp.diagonal(H) + 1e-8) * jnp.eye(dim)
         dx = jnp.linalg.solve(H, -J.T @ r)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
-        return x + dx
+        x_t = x + dx
+        r_t = residuals(x_t)
+        c_t = jnp.sum(r_t * r_t)
+        accept = jnp.isfinite(c_t) & (c_t < cost)
+        x = jnp.where(accept, x_t, x)
+        cost = jnp.where(accept, c_t, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 10.0), 1e-9, 1e6)
+        return (x, lam, cost), None
 
-    x = jax.lax.fori_loop(0, iters, gn, x0)
+    (x, _, c1), _ = jax.lax.scan(lm, (x0, jnp.asarray(1e-4), c0), None,
+                                 length=iters)
     g2, v, dba, dbg, log_s = unpack(x)
     r1 = residuals(x)
     s = jnp.exp(log_s)
@@ -113,7 +126,8 @@ def vi_init(R, t, kf_mask, imu_chain, *, optimize_scale: bool = False,
     v_aligned = jnp.einsum("ij,kj->ki", R_align, v) * 1.0  # v already metric
     ba0 = pre.ba_lin[0] + dba
     bg0 = pre.bg_lin[0] + dbg
-    converged = jnp.sum(r1 * r1) < jnp.sum(r0 * r0) + 1e-6
+    n_pairs = jnp.sum(pm & kf_mask[:-1] & kf_mask[1:])
+    converged = (jnp.sum(r1 * r1) < jnp.sum(r0 * r0) + 1e-6) & (n_pairs >= 2)
     return {
         "R_align": R_align, "scale": s, "v": v_aligned,
         "ba": ba0, "bg": bg0, "g_dir": g_hat,

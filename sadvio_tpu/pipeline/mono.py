@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sadvio_tpu.backend import viinit
 from sadvio_tpu.data.window import LMK_RESURRECTED, ImuChain, Observations, PriorSet
 from sadvio_tpu.frontend import detect, epipolar, klt, triangulate
 from sadvio_tpu.models import cameras, imu as imu_mod
@@ -43,7 +42,7 @@ class MonoSLAM(StereoSLAM):
         super().__init__(rig, config, imu_params=imu_params, seed=seed)
         self.boot_parallax_deg = boot_parallax_deg
         self.vio_init_kfs = vio_init_kfs
-        self.vi_initialized = not self.vio
+        self._vi_opt_scale = True  # monocular: VIInit(optim_scale=true)
         self._boot = None  # (pyr0, tracks uv at KF0)
 
     # ------------------------------------------------------------------
@@ -302,33 +301,7 @@ class MonoSLAM(StereoSLAM):
             pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
             self.traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))
             return out
-        out = super().process_frame(frame, images_dev=images_dev,
-                                    prefetch_frame=prefetch_frame)
-        if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
-            self._run_vi_init()
-        return out
-
-    def _run_vi_init(self):
-        res = viinit.vi_init(
-            self.window.R, self.window.t, self.window.kf_mask, self.imu,
-            optimize_scale=True, iters=20,
-        )
-        if not bool(res["converged"]):
-            return
-        self.window = viinit.apply_alignment(
-            self.window, res["R_align"], res["scale"]
-        )
-        self.window = self.window.replace(
-            v=res["v"],
-            ba=jnp.broadcast_to(res["ba"], (self.caps.K, 3)),
-            bg=jnp.broadcast_to(res["bg"], (self.caps.K, 3)),
-        )
-        R_align = res["R_align"]
-        s = res["scale"]
-        self.R_cur = R_align @ self.R_cur
-        self.t_cur = s * (R_align @ self.t_cur)
-        self.vi_initialized = True
-        # full VI window BA at the metric state
-        self.window, self.obs, _ = self._backend(
-            self.window, self.obs, self.imu, self.priors, 1
-        )
+        # VIInit trigger + vision-only bootstrap BA live in the base class
+        # (shared with the stereo-VIO flagship)
+        return super().process_frame(frame, images_dev=images_dev,
+                                     prefetch_frame=prefetch_frame)

@@ -35,11 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from sadvio_tpu.backend import ba, marginalization as marg
+from sadvio_tpu.backend import ba, marginalization as marg, viinit
 from sadvio_tpu.data.window import (
     LMK_RESURRECTED, ImuChain, Observations, PriorSet, Rig, WindowState,
 )
-from sadvio_tpu.frontend import detect, epipolar, klt, match as match_mod, pnp, triangulate
+from sadvio_tpu.frontend import (
+    detect, epipolar, eskf as eskf_mod, klt, match as match_mod, pnp, triangulate,
+)
 from sadvio_tpu.models import cameras, imu as imu_mod
 from sadvio_tpu.pipeline.config import SLAMConfig
 from sadvio_tpu.utils import geometry as geo
@@ -102,6 +104,13 @@ class StereoSLAM:
         self.n_kf = 0
         self.key = jax.random.PRNGKey(seed)
         self.initialized = False
+        # VI bootstrap (slamBiMonoVIO.cpp:94-100): run vision-only window BA
+        # for vio_init_kfs keyframes, then solve gravity/velocity/shared-bias
+        # with VIInit; only afterwards do IMU factors enter the window BA and
+        # the ESKF frame-rate fusion switch on.
+        self.vi_initialized = not self.vio
+        self.vio_init_kfs = min(10, self.caps.K - 1)  # ref: 10-KF bootstrap
+        self._vi_opt_scale = False  # monocular subclass solves scale too
         self.successive_fails = 0
         self.n_resets = 0  # re-initialization count (failure recovery)
         self.traj = []  # (ts, R, t) at frame rate
@@ -185,11 +194,16 @@ class StereoSLAM:
 
     @partial(jax.jit, static_argnames=("self",))
     def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred,
-                  t_pred, key, kf_tmpl=None):
+                  t_pred, key, kf_tmpl=None, eskf_on=False, pre_cov=None):
         """Track cam0 from the last-KF template, PnP-predict, epipolar-gate.
 
         Tracking is always keyframe->current (slamCore.cpp:339 trackFeatures
         lastKF.cam0 -> frame.cam0): per-frame KLT drift does not compound.
+
+        VIO: when eskf_on, the PnP pose is replaced by the ESKF fusion of the
+        IMU-predicted pose prior (covariance from the preintegration, pre_cov)
+        with the gated landmark reprojections -- the reference's frame-rate
+        ESKF update (slamBiMonoVIO.cpp:409-419, ESKFEstimator.cpp:66-178).
         """
         cam0 = _cam0(self.rig)
         # KLT init: project landmarks with the predicted pose (predictFeature,
@@ -272,6 +286,20 @@ class StereoSLAM:
         rays_kf_c = cam0.backproject(tracks.uv_kf[0])
         rays_new_c = cam0.backproject(uv1)
         ok = epipolar.epipolar_filter(R_ab, t_ab, rays_kf_c, rays_new_c, ok)
+
+        if self.vio:
+            # ESKF frame update after the filters (reference order:
+            # predict -> epipolarFiltering -> outlierRemoval -> ESKF,
+            # slamBiMonoVIO.cpp:388-419); the IMU prediction is the prior
+            P_prior = eskf_mod.imu_prior_covariance(pre_cov)
+            lmk_ok2 = ok & tracks.has3d & window.lmk_mask
+            R_e, t_e, _, n_used = eskf_mod.eskf_update(
+                cam0, self.rig.R_f_s[0], self.rig.t_f_s[0], R_pred, t_pred,
+                P_prior, window.lmk, uv1, lmk_ok2, sigma_px=1.0,
+            )
+            use = eskf_on & pnp_ok & (n_used >= 8)
+            R_new = jnp.where(use, R_e, R_new)
+            t_new = jnp.where(use, t_e, t_new)
 
         tracks = tracks.replace(
             uv=tracks.uv.at[0].set(uv1), valid=tracks.valid.at[0].set(ok)
@@ -620,6 +648,8 @@ class StereoSLAM:
         (self.tracks, R_new, t_new, health) = self._frontend(
             self.kf_pyr, pyr_new, self.tracks, self.window,
             R_pred, t_pred, self._next_key(), kf_tmpl=self.kf_tmpl,
+            eskf_on=jnp.asarray(self.vi_initialized and self._imu_n > 0),
+            pre_cov=self.pre_cur.cov if self.vio else None,
         )
         health_h = np.asarray(health)  # ONE device->host fetch (health + pose)
         pnp_ok_h = bool(health_h[0] > 0.5)
@@ -669,7 +699,7 @@ class StereoSLAM:
             if self.cfg.pose_graph:
                 dx_e, inf_e, n_sh = marg.marginalize_relative(
                     self.window, self.obs, self.rig, self.imu,
-                    self._ba_opts, vio=self.vio,
+                    self._ba_opts, vio=self.vio and self.vi_initialized,
                 )
                 if int(n_sh) > 0:
                     self.pose_graph_edges.append((
@@ -677,7 +707,8 @@ class StereoSLAM:
                         np.asarray(dx_e), np.asarray(inf_e),
                     ))
             (self.window, self.obs, self.imu, self.priors, self.tracks) = self._marg_roll(
-                self.window, self.obs, self.imu, self.priors, self.tracks, self.vio
+                self.window, self.obs, self.imu, self.priors, self.tracks,
+                self.vio and self.vi_initialized,
             )
             if self.cfg.marginalization:
                 self._have_priors = True
@@ -703,17 +734,25 @@ class StereoSLAM:
         # blocking RPC round trip every keyframe
         fixed_n = 1 if not self._have_priors else 0
         fixed_n = max(fixed_n, self.cfg.fixed_frame_number if self.n_kf > 1 else 1)
+        # vision-only bootstrap window BA until VIInit has run
+        # (step_init, slamBiMonoVIO.cpp:122-317): the IMU factors are masked
+        # out while velocities/biases are still at their zero defaults
+        imu_for_ba = (self.imu if self.vi_initialized else
+                      self.imu.replace(mask=jnp.zeros_like(self.imu.mask)))
         self.window, self.obs, stats = self._backend(
-            self.window, self.obs, self.imu, self.priors, fixed_n
+            self.window, self.obs, imu_for_ba, self.priors, fixed_n
         )
         # sync current pose/velocity to the optimized keyframe
         self.R_cur = self.window.R[slot]
         self.t_cur = self.window.t[slot]
         self.v_cur = self.window.v[slot]
         self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
+        if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
+            self._run_vi_init()
         pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
         self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))
         out["ba_cost"] = float(stats["cost"])
+        out["vi_initialized"] = self.vi_initialized
 
         # densification at KF rate (mesher->addNewKF, slamBiMonoVIO.cpp:601-603;
         # the detached Mesher thread becomes an async per-KF update)
@@ -725,6 +764,48 @@ class StereoSLAM:
             out.update(self.line_channel.on_keyframe(
                 pyr_new[0][0], pyr_new[1][0], self.R_cur, self.t_cur))
         return out
+
+    def _run_vi_init(self):
+        """VI bootstrap solve over the current window (VIInit,
+        AOptimizer.cpp:448-581; invoked after the vision-only bootstrap,
+        slamBiMonoVIO.cpp:94-100 / slamMonoVIO with optim_scale).
+
+        Solves gravity direction + per-KF velocities + one shared delta-bias
+        (+ log-scale for monocular), rotates/rescales the whole window
+        gravity-down, then runs a full VI window BA at the metric state
+        (localMapVIOptimization)."""
+        res = viinit.vi_init(
+            self.window.R, self.window.t, self.window.kf_mask, self.imu,
+            optimize_scale=self._vi_opt_scale, iters=20,
+        )
+        if not bool(res["converged"]):
+            return  # retried at the next keyframe
+        self.window = viinit.apply_alignment(
+            self.window, res["R_align"], res["scale"]
+        )
+        self.window = self.window.replace(
+            v=res["v"],
+            ba=jnp.broadcast_to(res["ba"], (self.caps.K, 3)),
+            bg=jnp.broadcast_to(res["bg"], (self.caps.K, 3)),
+        )
+        R_align = res["R_align"]
+        s = res["scale"]
+        self.R_cur = R_align @ self.R_cur
+        self.t_cur = s * (R_align @ self.t_cur)
+        self.vi_initialized = True
+        # full VI window BA at the aligned, metric state
+        self.window, self.obs, _ = self._backend(
+            self.window, self.obs, self.imu, self.priors, 1
+        )
+        k = self.n_kf - 1
+        self.R_cur = self.window.R[k]
+        self.t_cur = self.window.t[k]
+        self.v_cur = self.window.v[k]
+        # the running preintegration was reset with the pre-init (zero)
+        # biases; re-anchor its linearization point (no samples in it yet)
+        self.pre_cur = self.pre_cur.replace(
+            ba_lin=self.window.ba[k], bg_lin=self.window.bg[k]
+        )
 
     def reset(self):
         K, L, P = self.caps.K, self.caps.L, self.caps.P
@@ -743,6 +824,7 @@ class StereoSLAM:
         self.kf_ts = []
         self._have_priors = False
         self.initialized = False
+        self.vi_initialized = not self.vio
         self.successive_fails = 0
         self.n_resets += 1
 

@@ -84,15 +84,18 @@ def render_view(cam_f, cam_c, R_w_f, t_w_f, R_f_s, t_f_s, pts, intens,
     return jnp.clip(img, 0.0, 255.0)
 
 
-def _trajectory(t):
-    """Analytic trajectory (f64): lateral sweep + gentle bob, looking at +z."""
+def _trajectory(t, rot_scale=1.0):
+    """Analytic trajectory (f64): lateral sweep + gentle bob, looking at +z.
+
+    rot_scale scales the rotational excitation (rotation-rich trajectories
+    make accel bias observable against the gravity-tilt degeneracy)."""
     p = np.stack([
         0.8 * np.sin(0.5 * t),
         0.4 * np.sin(0.3 * t + 0.7),
         0.15 * np.sin(0.23 * t),
     ], -1)
-    yaw = 0.12 * np.sin(0.4 * t)
-    pitch = 0.06 * np.sin(0.31 * t + 1.0)
+    yaw = 0.12 * rot_scale * np.sin(0.4 * t)
+    pitch = 0.06 * rot_scale * np.sin(0.31 * t + 1.0)
     return p, yaw, pitch
 
 
@@ -106,7 +109,11 @@ def _rot(yaw, pitch):
 
 def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                width=320, height=240, n_points=240,
-               noise_px=0.0, imu_noise=True) -> SyntheticWorld:
+               noise_px=0.0, imu_noise=True,
+               acc_bias=None, gyr_bias=None, rot_scale=1.0) -> SyntheticWorld:
+    """acc_bias/gyr_bias: optional constant (3,) sensor biases added to the
+    IMU measurements -- the estimator should recover them (the reference's
+    imu_test.cpp biasEstimation pattern)."""
     rng = np.random.default_rng(seed)
     rig = make_rig(width, height)
     params = imu_mod.ImuParams.euroc()
@@ -137,7 +144,7 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     dt_imu = 1.0 / imu_rate
     T = n_frames
     t_dense = np.arange(T * n_sub + 1) * dt_imu
-    p_d, yaw_d, pitch_d = _trajectory(t_dense)
+    p_d, yaw_d, pitch_d = _trajectory(t_dense, rot_scale)
     R_d = np.stack([_rot(y, pp) for y, pp in zip(yaw_d, pitch_d)])
     v_d = np.gradient(p_d, dt_imu, axis=0)
     a_d = np.gradient(v_d, dt_imu, axis=0)
@@ -184,6 +191,10 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
             if imu_noise:
                 acc += rng.standard_normal(acc.shape) * params.acc_noise * np.sqrt(imu_rate)
                 gyr += rng.standard_normal(gyr.shape) * params.gyr_noise * np.sqrt(imu_rate)
+            if acc_bias is not None:
+                acc += np.asarray(acc_bias)[None, :]
+            if gyr_bias is not None:
+                gyr += np.asarray(gyr_bias)[None, :]
             dts = np.full((n_sub,), dt_imu)
         frames.append(FrameData(
             ts=k / fps,

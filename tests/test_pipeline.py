@@ -53,6 +53,33 @@ def test_bimonovio_tracks_trajectory(world):
     # gravity-aligned: z axis of first KF pose should be near world z
     R0 = slam.kf_traj[0][1]
     assert abs(R0[2, 2]) > 0.95
+    # the VI bootstrap must have fired (slamBiMonoVIO.cpp:94-100 parity)
+    assert slam.vi_initialized
+
+
+def test_bimonovio_recovers_imu_bias():
+    """Stereo VIO with a true nonzero gyro/accel bias: VIInit + window VI-BA
+    must recover it and hold ATE with noisy IMU (imu_test.cpp biasEstimation
+    pattern at the pipeline level)."""
+    gyr_bias = np.array([0.02, -0.015, 0.01])
+    acc_bias = np.array([0.05, 0.04, -0.06])
+    # rotation-rich trajectory: accel bias is only observable against the
+    # gravity-tilt degeneracy when the body rotates enough
+    w = synthetic.make_world(seed=5, n_frames=40, width=320, height=240,
+                             n_points=200, imu_noise=True, rot_scale=4.0,
+                             acc_bias=acc_bias, gyr_bias=gyr_bias)
+    slam = StereoSLAM(w.rig, small_config("bimonovio"), imu_params=w.imu_params)
+    est = slam.run(w.frames)
+    assert slam.vi_initialized, "VIInit never converged"
+    ate = synthetic.ate_rmse(est, w.gt_t[: len(est)])
+    assert ate < 0.06, f"ATE {ate:.4f} m with IMU bias"
+    k = slam.n_kf - 1
+    bg = np.asarray(slam.window.bg[k])
+    assert np.linalg.norm(bg - gyr_bias) < 0.01, f"gyro bias {bg} vs {gyr_bias}"
+    ba_est = np.asarray(slam.window.ba[k])
+    # accel bias couples with the residual gravity tilt: over a 2 s window a
+    # ~0.5 deg tilt ambiguity = ~0.09 m/s^2 apparent bias is irreducible
+    assert np.linalg.norm(ba_est - acc_bias) < 0.15, f"accel bias {ba_est}"
 
 
 def test_mono_tracks_trajectory(world):
