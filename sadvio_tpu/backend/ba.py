@@ -227,9 +227,22 @@ def _dense_residuals_pl(Rk, tk, vk, bak, bgk, pl, imu: ImuChain, priors: PriorSe
     r_ll = jnp.einsum("pab,pb->pa", priors.ll_sqrt_info, (pa - pb) - priors.ll_val)
     r_ll = jnp.where(priors.ll_mask[:, None], r_ll, 0.0)
 
+    # dense marginalization prior: linear factor replayed at its stored
+    # linearization point (MarginalizationFactor, marginalization.hpp:88-218)
+    f = priors.dn_frame
+    dx_pose = geo.pose_local(priors.dn_R, priors.dn_t, Rk[f], tk[f])
+    dx_dn = jnp.concatenate([
+        dx_pose, vk[f] - priors.dn_v, bak[f] - priors.dn_ba,
+        bgk[f] - priors.dn_bg,
+        jnp.where(priors.prior_slot_mask[:, None], pl - priors.dn_lmk, 0.0
+                  ).reshape(-1),
+    ])
+    r_dn = priors.dn_J @ dx_dn + priors.dn_r
+    r_dn = jnp.where(priors.dn_mask, r_dn, 0.0)
+
     return jnp.concatenate(
         [r_imu.reshape(-1), r_bias.reshape(-1), r_sp.reshape(-1),
-         r_lp.reshape(-1), r_plp.reshape(-1), r_ll.reshape(-1)]
+         r_lp.reshape(-1), r_plp.reshape(-1), r_ll.reshape(-1), r_dn]
     )
 
 

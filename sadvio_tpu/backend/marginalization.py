@@ -246,15 +246,26 @@ def _marg_dense_residuals(state, imu: ImuChain, priors: PriorSet, opts: BAOption
     r_ll = jnp.einsum("pab,pb->pa", priors.ll_sqrt_info, (pa - pb) - priors.ll_val)
     parts.append(jnp.where(priors.ll_mask[:, None], r_ll, 0.0).reshape(-1))
 
+    # old dense marginalization prior (anchored at slot 0 post-shift)
+    dx_dn = jnp.concatenate([
+        geo.pose_local(priors.dn_R, priors.dn_t, R0, t0),
+        v0 - priors.dn_v, ba0 - priors.dn_ba, bg0 - priors.dn_bg,
+        jnp.where(priors.prior_slot_mask[:, None], p_old - priors.dn_lmk, 0.0
+                  ).reshape(-1),
+    ])
+    r_dn = priors.dn_J @ dx_dn + priors.dn_r
+    parts.append(jnp.where(priors.dn_mask, r_dn, 0.0))
+
     return jnp.concatenate([p.reshape(-1) for p in parts])
 
 
 def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
     """Reprojection contributions at the marginalized frame (slot 0).
 
-    Kept/dropped landmarks: returns (H_add, index map) contributions into the
-    dense marg system via hand Jacobians.  Lonely landmarks: eliminated with
-    batched 3x3 Schur onto the x0 block.
+    Kept/dropped landmarks: returns (H, g) contributions into the dense marg
+    system via hand Jacobians (g = J^T W r, the cost gradient -- needed by
+    the dense-prior path; the sparsified path ignores it).  Lonely landmarks:
+    eliminated with batched 3x3 Schur onto the x0 block.
     """
     r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
     # slot 0 only
@@ -264,20 +275,27 @@ def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
     Hll = jnp.einsum("clai,claj->lij", wJl, Jl0)  # (L,3,3)
     Hpl = jnp.einsum("clai,claj->lij", w0[..., None, None] * Jp0, Jl0)  # (L,6,3)
     Hpp = jnp.einsum("clai,claj->ij", w0[..., None, None] * Jp0, Jp0)  # (6,6)
+    gp = jnp.einsum("clai,cla->i", w0[..., None, None] * Jp0, r0)  # (6,)
+    gl = jnp.einsum("clai,cla->li", wJl, r0)  # (L,3)
 
     # lonely elimination onto x0 pose block
     em = blanket.lonely.astype(r.dtype)
     Hll_e = Hll * em[:, None, None] + jnp.eye(3, dtype=r.dtype) * opts.jitter
     Hll_inv = geo.inv3x3(Hll_e) * em[:, None, None]
-    corr = -jnp.einsum("lij,ljk,lmk->im", Hpl * em[:, None, None], Hll_inv, Hpl * em[:, None, None])
+    Hpl_l = Hpl * em[:, None, None]
+    corr = -jnp.einsum("lij,ljk,lmk->im", Hpl_l, Hll_inv, Hpl_l)
+    g_corr = -jnp.einsum("lij,ljk,lk->i", Hpl_l, Hll_inv, gl * em[:, None])
 
     H = jnp.zeros((dxm_dim, dxm_dim), r.dtype)
     H = H.at[0:6, 0:6].add(Hpp + corr)
+    g = jnp.zeros((dxm_dim,), r.dtype)
+    g = g.at[0:6].add(gp + g_corr)
 
     # kept/dropped landmarks: add pose block cross terms + landmark blocks
-    def add_set(H, idx, valid, offset):
+    def add_set(H, g, idx, valid, offset):
         Hll_s = Hll[jnp.where(valid, idx, 0)] * valid[:, None, None]
         Hpl_s = Hpl[jnp.where(valid, idx, 0)] * valid[:, None, None]
+        gl_s = gl[jnp.where(valid, idx, 0)] * valid[:, None]
         # landmark diagonal
         Hd = H[offset : offset + 3 * P, offset : offset + 3 * P].reshape(P, 3, P, 3)
         Hd = Hd + Hll_s[:, :, None, :] * jnp.eye(P, dtype=r.dtype)[:, None, :, None]
@@ -288,11 +306,12 @@ def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
         Hc = Hpl_s.transpose(1, 0, 2).reshape(6, 3 * P)
         H = H.at[0:6, offset : offset + 3 * P].add(Hc)
         H = H.at[offset : offset + 3 * P, 0:6].add(Hc.T)
-        return H
+        g = g.at[offset : offset + 3 * P].add(gl_s.reshape(-1))
+        return H, g
 
-    H = add_set(H, blanket.drop_idx, blanket.drop_mask, D)
-    H = add_set(H, blanket.keep_idx, blanket.keep_mask, 2 * D + 3 * P)
-    return H
+    H, g = add_set(H, g, blanket.drop_idx, blanket.drop_mask, D)
+    H, g = add_set(H, g, blanket.keep_idx, blanket.keep_mask, 2 * D + 3 * P)
+    return H, g
 
 
 # ---------------------------------------------------------------------------
@@ -300,10 +319,17 @@ def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("vio",))
+@partial(jax.jit, static_argnames=("vio", "sparsify"))
 def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
-                priors: PriorSet, opts: BAOptions, vio: bool = True):
-    """Marginalize KF slot 0 and sparsify the resulting prior.
+                priors: PriorSet, opts: BAOptions, vio: bool = True,
+                sparsify: bool = True):
+    """Marginalize KF slot 0; emit a sparsified OR dense prior.
+
+    sparsify=True: Chow-Liu / pose-relative factor set (the headline
+    IROS-2023 contribution).  sparsify=False: the reference's
+    `sparsification: 0` path -- the exact Schur marginal replayed as one
+    dense (15+3P)-dim linear factor (J = Lam^1/2 U^T, r = Lam^-1/2 U^T g;
+    BundleAdjustmentCERESAnalytic.cpp:316-429, marginalization.cpp:516-530).
 
     Returns (new_priors, info) where new_priors is expressed in *pre-shift*
     slot coordinates (kept frame = slot 1); apply shift_priors() after the
@@ -318,9 +344,13 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     def rfun(dxm):
         return _marg_dense_residuals(state, imu, priors, opts, blanket, dxm)
 
+    r0_f = rfun(jnp.zeros((dim,), state.lmk.dtype))
     J = jax.jacfwd(rfun)(jnp.zeros((dim,), state.lmk.dtype))
     H = J.T @ J
-    H = H + _reproj_h_slot0(state, obs, rig, opts, blanket, dim, P)
+    g = J.T @ r0_f  # cost gradient (dense-prior path; ~0 after convergence)
+    H_r, g_r = _reproj_h_slot0(state, obs, rig, opts, blanket, dim, P)
+    H = H + H_r
+    g = g + g_r
 
     # Schur out [x0, dropped]: order is [x0(15), dropped(3P)] then kept part
     m_dim = D + 3 * P
@@ -329,6 +359,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     Hkk = H[m_dim:, m_dim:]
     Hmm_inv, _, _, _ = rank_revealing_pinv(Hmm)
     Ak = _sym(Hkk - Hmk.T @ Hmm_inv @ Hmk)  # (15+3P) over [x1, kept]
+    gk = g[m_dim:] - Hmk.T @ (Hmm_inv @ g[:m_dim])
 
     # rank-revealing decomposition of Ak -> covariance of kept states
     Ak_inv, U, lam, keep_eig = rank_revealing_pinv(Ak)
@@ -343,7 +374,22 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     def lmk_block(i):
         return jax.lax.dynamic_slice(Sigma_k, (D + 3 * i, D + 3 * i), (3, 3))
 
-    if vio:
+    if not sparsify:
+        # dense prior recovery: J = Lam^1/2 U^T on the kept eigen-subspace,
+        # r chosen so J^T r = g_k (the reference's computeJacobiansAndResiduals)
+        sq = jnp.sqrt(jnp.where(keep_eig, lam, 0.0))
+        isq = jnp.where(keep_eig, 1.0 / jnp.sqrt(jnp.where(keep_eig, lam, 1.0)), 0.0)
+        dn_J = sq[:, None] * U.T
+        dn_r = isq[:, None] * U.T @ gk
+        has_info = jnp.any(keep_eig & (lam > 0))
+        new = new.replace(
+            dn_J=dn_J, dn_r=dn_r,
+            dn_R=R1, dn_t=t1, dn_v=state.v[1], dn_ba=state.ba[1],
+            dn_bg=state.bg[1], dn_lmk=p_keep,
+            dn_frame=jnp.ones((), jnp.int32),
+            dn_mask=has_info & (jnp.any(blanket.keep_mask) | imu.mask[0]),
+        )
+    elif vio:
         # pose-relative landmark priors (sparsifyVIO:362-408)
         def plp_factor(i):
             p_f = R1.T @ (p_keep[i] - t1)
@@ -548,4 +594,5 @@ def shift_priors(priors: PriorSet) -> PriorSet:
         sp_sqrt_info=roll(priors.sp_sqrt_info),
         sp_mask=roll(priors.sp_mask).at[-1].set(False),
         plp_frame=jnp.maximum(priors.plp_frame - 1, 0),
+        dn_frame=jnp.maximum(priors.dn_frame - 1, 0),
     )

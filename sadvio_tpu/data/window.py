@@ -169,11 +169,29 @@ class PriorSet:
     ll_sqrt_info: jnp.ndarray  # (P,3,3)
     ll_mask: jnp.ndarray  # (P,) bool
 
+    # dense (non-sparsified) marginalization prior: one (15+3P)-dim linear
+    # factor replayed at its stored linearization point (the reference's
+    # MarginalizationFactor, marginalization.hpp:88-218 /
+    # BundleAdjustmentCERESAnalytic.cpp:316-429 "sparsification: 0" path).
+    # r(dx) = dn_J dx + dn_r with dx the retraction of [frame dn_frame state,
+    # retained landmarks (prior_slots order)] from the stored lin state.
+    dn_J: jnp.ndarray  # (15+3P, 15+3P) sqrt-info Jacobian (Lam^1/2 U^T)
+    dn_r: jnp.ndarray  # (15+3P,) residual at the linearization point
+    dn_R: jnp.ndarray  # (3,3) lin pose of the kept frame
+    dn_t: jnp.ndarray  # (3,)
+    dn_v: jnp.ndarray  # (3,)
+    dn_ba: jnp.ndarray  # (3,)
+    dn_bg: jnp.ndarray  # (3,)
+    dn_lmk: jnp.ndarray  # (P,3) lin positions of retained landmarks
+    dn_frame: jnp.ndarray  # () int32 KF slot the prior anchors to
+    dn_mask: jnp.ndarray  # () bool
+
     @classmethod
     def create(cls, K: int, P: int, dtype=jnp.float32):
         z3 = jnp.zeros((P, 3), dtype)
         zi = jnp.zeros((P, 3, 3), dtype)
         zm = jnp.zeros((P,), bool)
+        Dd = 15 + 3 * P
         return cls(
             sp_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (K, 3, 3)),
             sp_t=jnp.zeros((K, 3), dtype), sp_v=jnp.zeros((K, 3), dtype),
@@ -184,6 +202,11 @@ class PriorSet:
             plp_val=z3, plp_frame=jnp.zeros((P,), jnp.int32), plp_sqrt_info=zi, plp_mask=zm,
             ll_a=jnp.zeros((P,), jnp.int32), ll_b=jnp.zeros((P,), jnp.int32),
             ll_val=z3, ll_sqrt_info=zi, ll_mask=zm,
+            dn_J=jnp.zeros((Dd, Dd), dtype), dn_r=jnp.zeros((Dd,), dtype),
+            dn_R=jnp.eye(3, dtype=dtype), dn_t=jnp.zeros((3,), dtype),
+            dn_v=jnp.zeros((3,), dtype), dn_ba=jnp.zeros((3,), dtype),
+            dn_bg=jnp.zeros((3,), dtype), dn_lmk=z3,
+            dn_frame=jnp.zeros((), jnp.int32), dn_mask=jnp.zeros((), bool),
         )
 
     @property

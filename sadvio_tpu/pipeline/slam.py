@@ -479,7 +479,8 @@ class StereoSLAM:
         """Marginalize slot 0, shift window left (backEndStep marg branch)."""
         if self.cfg.marginalization:
             new_priors, info = marg.marginalize(
-                window, obs, self.rig, imu_chain, priors, self._ba_opts, vio=vio
+                window, obs, self.rig, imu_chain, priors, self._ba_opts, vio=vio,
+                sparsify=self.cfg.sparsification,
             )
             marg_lmk = info["marg_lmk"]
         else:

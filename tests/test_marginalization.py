@@ -99,6 +99,123 @@ def test_prior_constrains_window(rng):
     assert err_with < 0.05, err_with
 
 
+def test_dense_prior_zero_at_linearization(rng):
+    """sparsify=False: the dense replay factor (MarginalizationFactor
+    parity) vanishes at the linearization point of a converged problem."""
+    gt, obs, rig = lonely_shared_world(rng)
+    opts = ba.BAOptions()
+    new_priors, info = marg.marginalize(
+        gt, obs, rig, ImuChain.create(K), PriorSet.create(K, P), opts,
+        vio=False, sparsify=False,
+    )
+    assert bool(new_priors.dn_mask)
+    # no sparsified factors in dense mode
+    assert int(new_priors.lp_mask.sum()) == 0
+    assert int(new_priors.ll_mask.sum()) == 0
+    assert not bool(new_priors.sp_mask.any())
+    r = ba._dense_residuals(gt, ImuChain.create(K), new_priors, opts)
+    assert np.abs(np.asarray(r)).max() < 1e-2
+    # J^T J must reproduce the Schur marginal Ak on its kept subspace
+    A = np.asarray(new_priors.dn_J.T @ new_priors.dn_J, np.float64)
+    Ak = np.asarray(info["Ak"], np.float64)
+    scale = max(np.abs(Ak).max(), 1e-9)
+    np.testing.assert_allclose(A / scale, Ak / scale, atol=5e-3)
+
+
+def test_dense_prior_constrains_window(rng):
+    """Dense prior holds the gauge exactly like the sparsified one."""
+    gt, obs, rig = lonely_shared_world(rng)
+    opts = ba.BAOptions(iters=8)
+    new_priors, _ = marg.marginalize(
+        gt, obs, rig, ImuChain.create(K), PriorSet.create(K, P), opts,
+        vio=False, sparsify=False,
+    )
+    mask2 = np.asarray(obs.mask).copy()
+    mask2[0] = False
+    obs2 = obs.replace(mask=jnp.asarray(mask2))
+    noisy = perturb_state(rng, gt, pose_sig=0.02, lmk_sig=0.03, skip_first=False)
+    fixed = jnp.zeros((K,), bool)
+    prob = ba.BAProblem(noisy, obs2, rig, ImuChain.create(K),
+                        new_priors, fixed, jnp.asarray(False))
+    sol, _ = ba.ba_solve(prob, opts)
+    assert pose_err(sol, gt, gt.kf_mask) < 0.05
+
+
+def _prior_info_on_kept(gt, priors, opts, P):
+    """Information of a prior factor set over [x1(15), kept lmk (3P)]."""
+    p_keep0 = marg._gather_lmk(gt, priors.prior_slots, priors.prior_slot_mask)
+    chain = ImuChain.create(K)
+
+    def rfun(dx):
+        d1 = dx[:15]
+        dl = dx[15:].reshape(P, 3)
+        R1, t1 = geo.pose_retract(gt.R[1], gt.t[1], d1[:6])
+        Rk = gt.R.at[1].set(R1)
+        tk = gt.t.at[1].set(t1)
+        vk = gt.v.at[1].add(d1[6:9])
+        bak = gt.ba.at[1].add(d1[9:12])
+        bgk = gt.bg.at[1].add(d1[12:15])
+        pl = p_keep0 + jnp.where(priors.prior_slot_mask[:, None], dl, 0.0)
+        return ba._dense_residuals_pl(Rk, tk, vk, bak, bgk, pl, chain,
+                                      priors, opts)
+
+    J = jax.jacfwd(rfun)(jnp.zeros((15 + 3 * P,), jnp.float32))
+    return np.asarray(J.T @ J, np.float64)
+
+
+def test_sparsified_vs_dense_kld(rng):
+    """Quantitative sparsification-quality check (the reference's computeKLD
+    role, marginalization.cpp:344): the sparsified prior's information stays
+    within a bounded per-dim KLD of the exact dense marginal on the same
+    blanket.  The residual KLD is the cross-landmark correlation information
+    the Chow-Liu chain deliberately drops (~1.7 nats/dim measured here)."""
+    gt, obs, rig = lonely_shared_world(rng)
+    opts = ba.BAOptions()
+    dense, _ = marg.marginalize(
+        gt, obs, rig, ImuChain.create(K), PriorSet.create(K, P), opts,
+        vio=False, sparsify=False,
+    )
+    sparse, _ = marg.marginalize(
+        gt, obs, rig, ImuChain.create(K), PriorSet.create(K, P), opts,
+        vio=False, sparsify=True,
+    )
+    # identical blanket bookkeeping
+    np.testing.assert_array_equal(np.asarray(dense.prior_slots),
+                                  np.asarray(sparse.prior_slots))
+    A_d = _prior_info_on_kept(gt, dense, opts, P)
+    A_s = _prior_info_on_kept(gt, sparse, opts, P)
+    # restrict to the dense prior's observable subspace
+    lam_d, U_d = np.linalg.eigh(A_d)
+    keep = lam_d > 1e-6 * lam_d.max()
+    Ud = U_d[:, keep]
+    Ad_r = Ud.T @ A_d @ Ud
+    As_r = Ud.T @ A_s @ Ud
+    kld = float(marg.kld_gaussian_info(jnp.asarray(Ad_r), jnp.asarray(As_r)))
+    assert np.isfinite(kld)
+    assert kld < 2.5 * Ad_r.shape[0], f"KLD {kld} vs dim {Ad_r.shape[0]}"
+
+
+def test_marginalize_rank_failure(rng):
+    """No observations + no IMU: the marginal carries no information -- both
+    prior modes must come back disabled with finite values (the reference's
+    margFailTest returns false and clears the prior,
+    marginalization_test.cpp:321-335)."""
+    gt, obs, rig = lonely_shared_world(rng)
+    empty_obs = obs.replace(mask=jnp.zeros_like(obs.mask))
+    for sparsify in (True, False):
+        new_priors, _ = marg.marginalize(
+            gt, empty_obs, rig, ImuChain.create(K), PriorSet.create(K, P),
+            ba.BAOptions(), vio=True, sparsify=sparsify,
+        )
+        flat, _ = jax.tree_util.tree_flatten(new_priors)
+        for leaf in flat:
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert not bool(new_priors.dn_mask)
+        assert not bool(new_priors.sp_mask.any())
+        assert not bool(new_priors.plp_mask.any())
+        assert not bool(new_priors.prior_slot_mask.any())
+
+
 def test_shift_priors():
     priors = PriorSet.create(K, P)
     priors = priors.replace(

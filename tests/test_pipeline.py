@@ -82,6 +82,40 @@ def test_bimonovio_recovers_imu_bias():
     assert np.linalg.norm(ba_est - acc_bias) < 0.15, f"accel bias {ba_est}"
 
 
+def test_bimonovio_window_rolls_with_vio_prior(world):
+    """Stereo VIO with a small window: marginalization + sparsifyVIO prior
+    (15-dof state prior + pose-relative landmark factors) live e2e, with
+    VIInit having run first."""
+    cfg = dataclasses.replace(
+        small_config("bimonovio"), max_movement_parallax=0.5,
+        caps=Capacities(K=4, L=160, P=24, pyr_levels=3, klt_radius=5),
+    )
+    slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
+    est = slam.run(world.frames)
+    assert slam.vi_initialized
+    assert len(slam.archived_kf) >= 1, "window never rolled"
+    assert bool(slam.priors.sp_mask.any()), "sparsifyVIO state prior missing"
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    assert ate < 0.05, f"VIO-roll ATE {ate:.4f} m"
+
+
+def test_bimono_dense_marginalization(world):
+    """`sparsification: 0` config path: the exact dense marginal is replayed
+    as one linear prior factor instead of the Chow-Liu set
+    (BundleAdjustmentCERESAnalytic.cpp:316-429 parity)."""
+    cfg = dataclasses.replace(
+        small_config("bimono"), sparsification=False, max_movement_parallax=0.5,
+        caps=Capacities(K=4, L=160, P=24, pyr_levels=3, klt_radius=5),
+    )
+    slam = StereoSLAM(world.rig, cfg)
+    est = slam.run(world.frames)
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    assert ate < 0.05, f"dense-marg ATE {ate:.4f} m"
+    assert len(slam.archived_kf) >= 1, "window never rolled"
+    assert bool(slam.priors.dn_mask), "dense prior never activated"
+    assert not bool(slam.priors.ll_mask.any())
+
+
 def test_mono_tracks_trajectory(world):
     """Monocular VO: bootstrap by essential init, Sim3-aligned ATE."""
     from sadvio_tpu.pipeline.mono import MonoSLAM
