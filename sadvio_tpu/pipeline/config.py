@@ -31,6 +31,10 @@ class FeatureConfig:
     n_total: int = 400
     n_per_cell: int = 5
     max_reproj_err: float = 2.0
+    # csv detector: folder of "<ts>.csv" keypoint files (csvKeypointDetector)
+    folder: str = ""
+    # ellipsepatternxd: physical pattern side length (m)
+    pattern_side: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -106,13 +110,17 @@ def load_slam_config(path: str) -> SLAMConfig:
     feats = []
     for fd in y.get("features_handled", []) or []:
         feats.append(FeatureConfig(
-            label=fd.get("label", "pointxd"),
-            detector=fd.get("detector", "fast"),
-            tracker=fd.get("tracker", "klt"),
-            matcher=fd.get("matcher", "brief"),
+            # accept both our keys and the reference's *_label spellings
+            # (ros/config/config.yaml:105-167)
+            label=fd.get("label", fd.get("label_feature", "pointxd")),
+            detector=fd.get("detector", fd.get("detector_label", "fast")),
+            tracker=fd.get("tracker", fd.get("tracker_label", "klt")),
+            matcher=fd.get("matcher", fd.get("matcher_label", "brief")),
             n_total=int(fd.get("number_detected", 400)),
             n_per_cell=int(fd.get("number_kept", 5)),
             max_reproj_err=float(fd.get("max_reproj_err", 2.0)),
+            folder=str(fd.get("folder", "")),
+            pattern_side=float(fd.get("pattern_side", 1.0)),
         ))
     kw = {}
     for key in ("slam_mode", "tracker", "pose_estimator", "optimizer",

@@ -201,8 +201,9 @@ class LineChannel:
 
     # -- host-side wrapper --------------------------------------------------
 
-    def on_keyframe(self, img0, img1, R_w_f, t_w_f):
-        """Update the line map with one keyframe; returns health dict."""
+    def on_keyframe(self, frame, img0, img1, R_w_f, t_w_f):
+        """Update the line map with one keyframe; returns health dict.
+        (frame is unused here; part of the shared channel signature.)"""
         (self.p0, self.p1, self.mask, self.age, self.obs_ends, self.obs_mask,
          self.obs_R, self.obs_t, n_lines, n_tracked) = self._kf_update(
             img0, img1, R_w_f, t_w_f, self.p0, self.p1, self.mask, self.age,

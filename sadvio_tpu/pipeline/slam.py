@@ -135,13 +135,37 @@ class StereoSLAM:
                 # (the reference's fixed 0.25-5 m is a UGV ground prior)
                 max_ray_depth=MeshConfig().max_lmk_depth,
             ))
-        # optional extra feature types (features_handled dispatch,
-        # slamParameters.cpp:63-240): "linexd" adds the line channel
-        self.line_channel = None
-        if C >= 2 and any(f.label == "linexd" for f in config.features):
-            from sadvio_tpu.pipeline.line_channel import LineChannel
+        # extra feature types (features_handled dispatch, the reference's
+        # per-label detector/matcher/initializer factory maps,
+        # slamParameters.cpp:63-240): each label beyond pointxd instantiates
+        # its typed channel, updated at KF rate
+        self.channels = []
+        self._use_csv = False  # csv detector replaces point detection
+        for f in config.features:
+            label = f.label.lower()
+            if label == "linexd" and C >= 2:
+                from sadvio_tpu.pipeline.line_channel import LineChannel
 
-            self.line_channel = LineChannel(rig)
+                self.channels.append(LineChannel(rig))
+            elif label == "edgeletxd" and C >= 2:
+                from sadvio_tpu.pipeline.channels import EdgeletChannel
+
+                self.channels.append(EdgeletChannel(rig))
+            elif label == "ellipsepatternxd":
+                from sadvio_tpu.pipeline.channels import EllipseChannel
+
+                self.channels.append(EllipseChannel(
+                    rig, side=getattr(f, "pattern_side", 1.0) or 1.0))
+            elif label == "bboxxd" and C >= 2:
+                from sadvio_tpu.pipeline.channels import BBoxChannel
+
+                self.channels.append(BBoxChannel(rig))
+            elif label == "pointxd" and f.detector.lower() in ("csv", "cvcsv"):
+                # cvCSVFeatureDetector: precomputed keypoints from
+                # "<folder>/<ts>.csv" substitute the point detector
+                # (csvKeypointDetector.cpp)
+                self._use_csv = True
+                self._csv_folder = f.folder
         self._ba_opts = ba.BAOptions(
             iters=8, sigma_px=jnp.float32(1.0),
             acc_walk=self.imu_params.acc_walk, gyr_walk=self.imu_params.gyr_walk,
@@ -333,23 +357,35 @@ class StereoSLAM:
 
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
-                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot):
+                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot, ext_det=None):
         """Insert keyframe at (dynamic) slot: detect, stereo-track,
         triangulate, write observation rows (slamBiMonoVIO.cpp:481-538).
 
         slot is a traced scalar: a static slot re-traced this kernel for
         every window position during fill (~13 s compile each on the
-        tunneled TPU)."""
+        tunneled TPU).
+
+        ext_det: optional (uv (M,2), valid (M,)) precomputed keypoints
+        replacing the detector (the reference's cvCSVFeatureDetector path,
+        csvKeypointDetector.cpp)."""
         cam0 = _cam0(self.rig)
         cam1 = _cam(self.rig, 1)
         L = self.caps.L
         img0 = pyr_new[0][0]
 
         # 1. detect in free slots with occupancy mask
-        uv_det, s_det, v_det = detect.detect_features(
-            img0, existing_uv=tracks.uv[0], existing_valid=tracks.valid[0],
-            gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
-        )
+        if self._use_csv and ext_det is not None:
+            uv_det, v_det = ext_det
+            # same occupancy rule as the detector: drop candidates within
+            # r=5 px of live tracks (aOpenCVFeatureDetector mask circles)
+            d2ex = jnp.sum((uv_det[:, None] - tracks.uv[0][None]) ** 2, -1)
+            occ = jnp.any((d2ex < 25.0) & tracks.valid[0][None, :], axis=1)
+            v_det = v_det & ~occ
+        else:
+            uv_det, s_det, v_det = detect.detect_features(
+                img0, existing_uv=tracks.uv[0], existing_valid=tracks.valid[0],
+                gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
+            )
         # 1b. landmark resurrection (recoverFeatureFromMapLandmarks
         # slamCore.cpp:253; ldmk_match 5x5 search box, afeaturematcher.cpp):
         # in-map landmarks whose track died are projected with the new KF
@@ -586,6 +622,20 @@ class StereoSLAM:
             self.pre_cur = self._preint(batch, self.pre_cur)
             self._imu_n += m
 
+    def _csv_det(self, frame):
+        """Load precomputed keypoints for this frame's timestamp (csv
+        detector path); timestamps are EuRoC-style nanoseconds."""
+        if not self._use_csv:
+            return None
+        from sadvio_tpu.frontend import csv_keypoints
+
+        # desc_dim=0: the KLT tracker path needs positions only (descriptors
+        # in the file, of any width, are ignored)
+        uv, _, v = csv_keypoints.load_csv_keypoints(
+            self._csv_folder, int(round(frame.ts * 1e9)), capacity=256,
+            desc_dim=0)
+        return (uv, v)
+
     def _gravity_align_init(self, frame):
         """First-pose gravity alignment from averaged accelerometer samples
         (slamBiMonoVIO.cpp:24-47 Rodrigues alignment)."""
@@ -632,6 +682,7 @@ class StereoSLAM:
                 pyr_new, self.tracks, self.window, self.obs, self.imu,
                 self.pre_cur, R0, jnp.zeros(3), jnp.zeros(3),
                 jnp.float32(frame.ts), self._next_key(), 0,
+                ext_det=self._csv_det(frame),
             )
             self.n_kf = 1
             self.pre_cur = imu_mod.Preintegration.identity()
@@ -719,7 +770,7 @@ class StereoSLAM:
         self.tracks, self.window, self.obs, self.imu = self._insert_kf(
             pyr_new, self.tracks, self.window, self.obs, self.imu,
             self.pre_cur, R_new, t_new, v_pred, jnp.float32(frame.ts),
-            self._next_key(), slot,
+            self._next_key(), slot, ext_det=self._csv_det(frame),
         )
         self.n_kf += 1
         self.kf_ts.append(frame.ts)
@@ -761,9 +812,10 @@ class StereoSLAM:
             imgs = jnp.stack([pyr_new[c][0] for c in range(2)])
             self.mesher.update(imgs, self.window, self.R_cur, self.t_cur)
             out["mesh_triangles"] = int(jnp.sum(self.mesher.tri_mask))
-        if self.line_channel is not None:
-            out.update(self.line_channel.on_keyframe(
-                pyr_new[0][0], pyr_new[1][0], self.R_cur, self.t_cur))
+        img1 = pyr_new[1][0] if self.C > 1 else pyr_new[0][0]
+        for ch in self.channels:
+            out.update(ch.on_keyframe(
+                frame, pyr_new[0][0], img1, self.R_cur, self.t_cur))
         return out
 
     def _run_vi_init(self):

@@ -77,7 +77,7 @@ def test_line_channel_recovers_3d_lines():
             segs2d = [_project_seg(rig, c, R, t, seg) for seg in SEGS3D]
             imgs.append(_render(segs2d))
         health = chan.on_keyframe(
-            jnp.asarray(imgs[0]), jnp.asarray(imgs[1]),
+            None, jnp.asarray(imgs[0]), jnp.asarray(imgs[1]),
             jnp.asarray(R), jnp.asarray(t))
 
     assert health["n_lines"] >= 3
