@@ -81,6 +81,55 @@ def scale_ransac(R_b, d_unit, R_f_s1, t_f_s1, rays1_kf, rays1_cur, valid,
     return s, inl, ok
 
 
+@partial(jax.jit, static_argnames=("n_grid",))
+def scale_grid(R_b, d_unit, R_f_s1, t_f_s1, rays1_kf, rays1_cur, valid,
+               s_lo, s_hi, *, n_grid: int = 512, huber_deg: float = 0.3,
+               min_inliers: int = 8, inlier_angle_deg: float = 0.5):
+    """Robust grid M-estimator of the metric scale.
+
+    The closed-form 1-point least squares (scale_ransac) regresses on the
+    noisy coefficient b.m and suffers errors-in-variables attenuation (the
+    estimate shrinks toward zero) once ray noise is comparable to the
+    lever-arm signal.  Minimizing the robust epipolar *angular* error over a
+    dense log grid of s (batched, one vmap -- TPU-friendly) is consistent:
+    noise enters the cost additively instead of multiplying the regressor.
+    Both signs of s are scanned.  Returns (s, inliers, ok).
+    """
+    R_1, a, b = cam1_motion_terms(R_b, d_unit, R_f_s1, t_f_s1)
+    half = n_grid // 2
+    grid = jnp.geomspace(jnp.maximum(s_lo, 1e-6), jnp.maximum(s_hi, 1e-5), half)
+    s_grid = jnp.concatenate([grid, -grid])
+    hub = jnp.deg2rad(huber_deg)
+
+    def cost(s):
+        err = _epi_angle(R_1, a + s * b, rays1_kf, rays1_cur)
+        rho = jnp.where(err < hub, err * err, 2 * hub * err - hub * hub)
+        return jnp.sum(jnp.where(valid, rho, 0.0))
+
+    costs = jax.vmap(cost)(s_grid)
+    i = jnp.argmin(costs)
+    s = s_grid[i]
+    # parabolic refinement on the local triple (log-spaced grid: refine in
+    # the raw s coordinate of the neighbours)
+    im = jnp.clip(i - 1, 0, n_grid - 1)
+    ip = jnp.clip(i + 1, 0, n_grid - 1)
+    x0, x1, x2 = s_grid[im], s_grid[i], s_grid[ip]
+    c0, c1, c2 = costs[im], costs[i], costs[ip]
+    denom = (x0 - x1) * (x0 - x2) * (x1 - x2)
+    A = (x2 * (c1 - c0) + x1 * (c0 - c2) + x0 * (c2 - c1)) / jnp.where(
+        jnp.abs(denom) < 1e-18, 1e-18, denom)
+    B = (x2 * x2 * (c0 - c1) + x1 * x1 * (c2 - c0) + x0 * x0 * (c1 - c2)
+         ) / jnp.where(jnp.abs(denom) < 1e-18, 1e-18, denom)
+    s_par = -B / jnp.where(jnp.abs(A) < 1e-18, 1e-18, 2 * A)
+    same_bracket = (s_par > jnp.minimum(x0, x2)) & (s_par < jnp.maximum(x0, x2))
+    s = jnp.where((A > 0) & same_bracket, s_par, s)
+
+    err = _epi_angle(R_1, a + s * b, rays1_kf, rays1_cur)
+    inl = valid & (err < jnp.deg2rad(inlier_angle_deg))
+    ok = (jnp.sum(inl) >= min_inliers) & jnp.isfinite(s)
+    return s, inl, ok
+
+
 def _epi_angle(R_1, t1, rays_kf, rays_cur):
     """Angular distance of the kf ray from the epipolar plane (kf frame)."""
     n = jnp.cross(jnp.broadcast_to(t1, rays_cur.shape),

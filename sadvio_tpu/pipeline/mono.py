@@ -43,6 +43,7 @@ class MonoSLAM(StereoSLAM):
         self.boot_parallax_deg = boot_parallax_deg
         self.vio_init_kfs = vio_init_kfs
         self._vi_opt_scale = True  # monocular: VIInit(optim_scale=true)
+        self._cam0_slot_limit = self.caps.L  # nofov restricts to L/2
         self._boot = None  # (pyr0, tracks uv at KF0)
 
     # ------------------------------------------------------------------
@@ -57,9 +58,16 @@ class MonoSLAM(StereoSLAM):
             existing_uv=jnp.zeros((L, 2)), existing_valid=jnp.zeros((L,), bool),
             gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
         )
+        # compact valid detections to the front: essential_ransac samples
+        # slot indices uniformly, so scattered validity starves its 8-point
+        # hypotheses (worst in nofov, where cam0 owns only L/2 slots)
+        order = jnp.argsort(~v, stable=True)
+        uv = uv[order]
+        v = v[order]
         n = min(uv.shape[0], L)
         uv0 = jnp.zeros((L, 2)).at[:n].set(uv[:n])
         v0 = jnp.zeros((L,), bool).at[:n].set(v[:n])
+        v0 = v0 & (jnp.arange(L) < self._cam0_slot_limit)
         return uv0, v0
 
     @partial(jax.jit, static_argnames=("self",))
@@ -177,7 +185,8 @@ class MonoSLAM(StereoSLAM):
 
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks, window, obs, imu_chain, pre_cur,
-                   R_kf, t_kf, v_kf, ts, key, slot):
+                   R_kf, t_kf, v_kf, ts, key, slot, ext_det=None):
+        # ext_det (csv detector) is a stereo-pipeline feature; unused here
         cam0 = _cam0(self.rig)
         L = self.caps.L
         img0 = pyr_new[0][0]
@@ -209,7 +218,10 @@ class MonoSLAM(StereoSLAM):
                                 window.lmk_flags)
         )
 
-        free = ~(v0_base | window.lmk_mask)
+        # cam0 claims only its slot range (nofov splits the pool:
+        # [0, L/2) cam0, [L/2, L) cam1; plain mono uses the whole pool)
+        free = ~(v0_base | window.lmk_mask) \
+            & (jnp.arange(L) < self._cam0_slot_limit)
         det_rank = jnp.cumsum(v_det) - 1
         n_free = jnp.sum(free)
         free_slots = jnp.nonzero(free, size=L, fill_value=L - 1)[0]
@@ -297,6 +309,7 @@ class MonoSLAM(StereoSLAM):
             else:
                 self._prefetched = None
             pyr_new = self._pyramids(images_dev)
+            self._last_pyr = pyr_new
             out["is_kf"] = self._try_bootstrap(frame, pyr_new)
             pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
             self.traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))

@@ -3,15 +3,24 @@
 TPU-native re-design of the reference mode
 (reference: cpp/src/slamNonOverlappingFov.cpp -- init:18, per-camera
 tracking, scaleEstimationRANSAC:423, isDegenerativeMotion:634, dual-camera
-outlierRemoval:355; scale-aware landmark optimization).
+outlierRemoval:355; scale-aware landmark optimization,
+AngularAdjustmentCERESAnalytic.cpp:488+).
 
 Two cameras look in opposite directions.  Camera 0 runs the monocular
-front end (KLT + essential/PnP); camera 1 is tracked independently and its
-epipolar geometry, coupled through the rigid extrinsics, resolves the
-metric scale (frontend.nofov.scale_ransac).  The landmark pool is split by
-slot range: slots [0, L/2) belong to camera 0, [L/2, L) to camera 1, so the
-shared window/BA machinery works unchanged (each observation row masks the
-other camera's slots).
+front end (KLT + essential/PnP); camera 1 maintains an independent set of
+chained KLT tracks whose epipolar geometry, coupled through the rigid
+extrinsics, resolves the metric scale (frontend.nofov.scale_ransac).
+
+Scale maintenance is continuous (the reference re-estimates at every KF and
+folds the result into scale-aware landmark optimization): at each keyframe
+the 1-point RANSAC runs over the LONGEST available window baseline --
+oldest window KF to the new KF, using camera-1 tracks chained KF-to-KF --
+because the lever-arm signal |(R-I) t_s1| grows with accumulated rotation
+and the estimator suffers errors-in-variables attenuation on short
+baselines.  The first valid estimate rescales map+history to metric; later
+estimates apply damped window-anchored corrections (the scalePrior pull),
+with the marginalization prior's positional linearization rescaled in the
+same gauge, and the window BA re-converges landmarks around it.
 """
 
 from __future__ import annotations
@@ -32,12 +41,34 @@ from sadvio_tpu.utils import geometry as geo
 class NoFovSLAM(MonoSLAM):
     """Bi-monocular VO with disjoint fields of view ("nofov")."""
 
+    SCALE_DAMP = 0.35  # log-space gain of each maintenance step
+    SCALE_STEP_CLIP = (0.8, 1.25)  # max per-step multiplicative change
+    SCALE_DEADBAND = 0.02  # ignore ratios within 2% of unity (noise)
+    MIN_LEVER = 0.015  # m of rotation-induced lever displacement to trust
+    RATIO_RANGE = (0.05, 20.0)  # searched map-scale correction range
+
     def __init__(self, rig, config, imu_params=None, seed=0,
                  boot_parallax_deg: float = 1.5):
         super().__init__(rig, config, imu_params=imu_params, seed=seed,
                          boot_parallax_deg=boot_parallax_deg)
+        # landmark pool split: [0, L/2) cam0, [L/2, L) cam1 -- camera 1's
+        # landmarks enter the SAME window BA through the rigid extrinsics,
+        # so the joint bundle observes metric scale continuously (the
+        # reference's scale-aware landmark optimization); the RANSAC below
+        # provides the initial gauge + a damped external measurement
+        self._cam0_slot_limit = self.caps.L // 2
         self.scale_state = {"applied": False, "s": 1.0, "n_est": 0}
-        self.kf_uv1 = None  # cam1 track positions at last KF (for scale)
+        L, K = self.caps.L, self.caps.K
+        # chained cam-1 tracks: positions at the last KF + per-KF history
+        # rows aligned with window slots (rolled with the window)
+        self.uv1_last = np.zeros((L, 2), np.float32)
+        self.v1_last = np.zeros((L,), bool)
+        self.uv1_hist = np.zeros((K, L, 2), np.float32)
+        self.hist_mask = np.zeros((K, L), bool)
+        # cam-1 pyramid per window slot: long-baseline estimates re-track
+        # against the ORIGIN template (chained positions only seed the init),
+        # so chained-KLT drift does not compound into the scale measurement
+        self.pyr1_hist = [None] * K
 
     # -- camera-1 independent KLT track (kf -> current) ------------------
 
@@ -50,73 +81,252 @@ class NoFovSLAM(MonoSLAM):
         )
         return uv1, ok
 
-    def _estimate_scale(self, pyr_new, R_new, t_new):
-        """1-point RANSAC scale from cam1 tracks at the current frame."""
-        if self.kf_uv1 is None:
-            return None
-        uv_kf, valid = self.kf_uv1
-        if int(jnp.sum(valid)) < 12:
-            return None
-        uv1, ok = self._track_cam1(self.kf_pyr, pyr_new, uv_kf, valid)
+    @partial(jax.jit, static_argnames=("self",))
+    def _track_cam1_refine(self, pyr1_a, pyr1_b, uv_a, init, valid, R_1):
+        """Re-track origin-KF templates directly into the current frame,
+        seeded by the chained positions (drift-free long-baseline match).
+
+        R_1: camera-1 relative rotation (cur -> origin coords).  Long
+        baselines accumulate enough rotation that unwarped LK converges with
+        a systematic sub-pixel bias larger than the lever-arm scale signal;
+        the rotation-homography affine warp H = K R_1 K^-1 removes it."""
         cam1 = _cam(self.rig, 1)
-        k_last = self.n_kf - 1
-        R_kf = self.window.R[k_last]
-        t_kf = self.window.t[k_last]
-        # body motion kf->cur in the kf body frame
-        Ri, ti = geo.pose_inverse(R_kf, t_kf)
-        R_b, t_b = geo.pose_compose(Ri, ti, R_new, t_new)
-        tn = float(jnp.linalg.norm(t_b))
-        if tn < 1e-5:
-            return None
-        d = t_b / tn
-        if bool(nofov.is_degenerate_motion(R_b, d, self.rig.R_f_s[1],
-                                           self.rig.t_f_s[1])):
-            return None
-        rays_kf = cam1.backproject(uv_kf)
-        rays_cur = cam1.backproject(uv1)
-        s, inl, ok_s = nofov.scale_ransac(
-            R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
-            rays_kf, rays_cur, ok,
+        fx = jnp.reshape(cam1.fx, ())
+        fy = jnp.reshape(cam1.fy, ())
+        cx = jnp.reshape(cam1.cx, ())
+        cy = jnp.reshape(cam1.cy, ())
+        one = jnp.ones(())
+        Km = jnp.stack([
+            jnp.stack([fx, 0 * one, cx]), jnp.stack([0 * one, fy, cy]),
+            jnp.stack([0 * one, 0 * one, one]),
+        ])
+        Kinv = jnp.stack([
+            jnp.stack([1 / fx, 0 * one, -cx / fx]),
+            jnp.stack([0 * one, 1 / fy, -cy / fy]),
+            jnp.stack([0 * one, 0 * one, one]),
+        ])
+        Hm = Km @ R_1 @ Kinv  # maps current pixels -> origin pixels
+        N = init.shape[0]
+        x = jnp.concatenate([init, jnp.ones((N, 1), init.dtype)], axis=1)
+        y = x @ Hm.T  # (N,3)
+        # Jacobian of dehom(Hm x) wrt the current pixel: target->template
+        A = (Hm[:2, :2][None] * y[:, 2, None, None]
+             - y[:, :2, None] * Hm[2, :2][None, None, :]) / (
+            y[:, 2, None, None] ** 2)
+        uv, ok, _ = klt.track(
+            pyr1_a, pyr1_b, uv_a, init, valid, warp=A,
+            levels=self.caps.pyr_levels, radius=self.caps.klt_radius,
+            engine=self.klt_engine,
         )
-        if not bool(ok_s):
+        return uv, ok
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _detect_cam1(self, img1, uv_exist, v_exist):
+        return detect.detect_features(
+            img1, existing_uv=uv_exist, existing_valid=v_exist,
+            gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _cam1_kf_update(self, window, obs, uv1, v1, slot):
+        """Write camera-1 observation row at the new KF and triangulate
+        upper-half landmark slots from their window observations
+        (initFromFeatures over cam1; the dual-camera half of the
+        reference's per-camera typed maps)."""
+        L, K = self.caps.L, self.caps.K
+        upper = jnp.arange(L) >= L // 2
+        v1u = v1 & upper
+        obs = obs.replace(
+            uv=obs.uv.at[slot, 1].set(uv1),
+            mask=obs.mask.at[slot, 1].set(v1u),
+        )
+        cam1 = _cam(self.rig, 1)
+        R_ws = jnp.einsum("kij,jl->kil", window.R, self.rig.R_f_s[1])
+        t_ws = window.t + jnp.einsum("kij,j->ki", window.R, self.rig.t_f_s[1])
+        rays_c = cam1.backproject(obs.uv[:, 1])  # (K,L,3)
+        rays_w = jnp.einsum("kij,klj->kli", R_ws, rays_c)
+        origins = jnp.broadcast_to(t_ws[:, None, :], rays_w.shape)
+        m_obs = obs.mask[:, 1] & window.kf_mask[:, None]
+        p_tri, tri_ok = triangulate.midpoint_triangulate(
+            jnp.moveaxis(origins, 0, -2), jnp.moveaxis(rays_w, 0, -2),
+            jnp.moveaxis(m_obs, 0, -1), det_eps=1e-5,
+        )
+        need3d = upper & ~window.lmk_mask & (jnp.sum(m_obs, axis=0) >= 2)
+        add3d = need3d & tri_ok
+        window = window.replace(
+            lmk=jnp.where(add3d[:, None], p_tri, window.lmk),
+            lmk_mask=window.lmk_mask | add3d,
+        )
+        return window, obs
+
+    # -- scale estimation over the longest window baseline ---------------
+
+    def _estimate_scale_window(self, k):
+        """Robust scale over every usable window baseline (o -> k).
+
+        Each baseline with enough common tracks and lever-arm signal yields
+        one grid-M-estimate of the map-scale correction s_metric/|t_map|;
+        the median over baselines suppresses the per-estimate noise (the
+        signal sits near the sub-pixel correspondence noise floor).  Returns
+        the median correction or None.
+        """
+        ratios = []
+        cam1 = _cam(self.rig, 1)
+        for o in range(0, k):
+            common = self.hist_mask[o] & self.hist_mask[k]
+            if int(common.sum()) < 12:
+                continue
+            R_o = self.window.R[o]
+            t_o = self.window.t[o]
+            R_k = self.window.R[k]
+            t_k = self.window.t[k]
+            Ri, ti = geo.pose_inverse(R_o, t_o)
+            R_b, t_b = geo.pose_compose(Ri, ti, R_k, t_k)
+            tn = float(jnp.linalg.norm(t_b))
+            if tn < 1e-5:
+                continue
+            d = t_b / tn
+            if bool(nofov.is_degenerate_motion(
+                    R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
+                    min_lever=self.MIN_LEVER)):
+                continue
+            if self.pyr1_hist[o] is None or self.pyr1_hist[k] is None:
+                continue
+            R_1 = self.rig.R_f_s[1].T @ R_b @ self.rig.R_f_s[1]
+            uv_ref, ok_ref = self._track_cam1_refine(
+                self.pyr1_hist[o], self.pyr1_hist[k],
+                jnp.asarray(self.uv1_hist[o]), jnp.asarray(self.uv1_hist[k]),
+                jnp.asarray(common), R_1)
+            common2 = common & np.array(ok_ref)
+            if int(common2.sum()) < 12:
+                continue
+            rays_o = cam1.backproject(jnp.asarray(self.uv1_hist[o]))
+            rays_k = cam1.backproject(uv_ref)
+            lo, hi = self.RATIO_RANGE
+            s, inl, ok_s = nofov.scale_grid(
+                R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
+                rays_o, rays_k, jnp.asarray(common2),
+                jnp.float32(lo * tn), jnp.float32(hi * tn),
+            )
+            if bool(ok_s) and float(s) > 0:
+                ratios.append(float(s) / tn)
+        if not ratios:
             return None
-        # s is the metric length of the body translation; current map length
-        # is tn -> multiplicative map-scale correction
-        return float(s) / tn
+        return float(np.median(ratios))
+
+    # -- gauge utilities --------------------------------------------------
+
+    def _apply_scale_window(self, s):
+        """Rescale the sliding window about its oldest keyframe position
+        (the gauge anchor): poses, landmarks, the current estimate, the
+        constant-velocity model and the prior's positional linearization
+        move together; archived history does not."""
+        t0 = self.window.t[0]
+        self.window = self.window.replace(
+            t=t0 + (self.window.t - t0) * s,
+            lmk=t0 + (self.window.lmk - t0) * s,
+        )
+        self.t_cur = t0 + (self.t_cur - t0) * s
+        self.dT = (self.dT[0], self.dT[1] * s)
+        pr = self.priors
+        self.priors = pr.replace(
+            sp_t=t0 + (pr.sp_t - t0) * s, sp_v=pr.sp_v * s,
+            lp_val=t0 + (pr.lp_val - t0) * s,
+            plp_val=pr.plp_val * s, ll_val=pr.ll_val * s,
+            dn_t=t0 + (pr.dn_t - t0) * s,
+            dn_lmk=t0 + (pr.dn_lmk - t0) * s, dn_v=pr.dn_v * s,
+        )
+
+    def _apply_scale_global(self, s):
+        """Bootstrap: move the whole map AND the recorded history to metric
+        scale in one shot (the reference's initial scale application)."""
+        self.window = self.window.replace(
+            t=self.window.t * s, lmk=self.window.lmk * s,
+        )
+        self.t_cur = self.t_cur * s
+        self.dT = (self.dT[0], self.dT[1] * s)
+        self.traj = [(ts, R, t * s) for ts, R, t in self.traj]
+        self.kf_traj = [(ts, R, t * s) for ts, R, t in self.kf_traj]
+
+    # -- frame hook --------------------------------------------------------
 
     def process_frame(self, frame, images_dev=None, prefetch_frame=None) -> dict:
+        pyr_prev_kf = self.kf_pyr
+        n_arch0 = len(self.archived_kf)
+        n_resets0 = self.n_resets
         out = super().process_frame(frame, images_dev=images_dev,
                                     prefetch_frame=prefetch_frame)
-        if not self.initialized:
+        if not self.initialized or self.n_resets != n_resets0:
+            self.v1_last[:] = False
+            self.hist_mask[:] = False
             return out
-        if out.get("is_kf"):
-            # refresh cam1 template tracks at each keyframe
-            pyr = self.kf_pyr
-            L = self.caps.L
-            uv_det, s_det, v_det = detect.detect_features(
-                pyr[1][0], existing_uv=jnp.zeros((L, 2)),
-                existing_valid=jnp.zeros((L,), bool),
-                gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
-            )
-            n = min(uv_det.shape[0], L)
-            uv_kf = jnp.zeros((L, 2)).at[:n].set(uv_det[:n])
-            val = jnp.zeros((L,), bool).at[:n].set(v_det[:n])
-            self.kf_uv1 = (uv_kf, val)
-        elif out.get("pnp_ok") and self.n_kf >= 2 and not self.scale_state["applied"]:
-            pyr_new = self._pyramids(self._upload_images(frame))
-            ratio = self._estimate_scale(pyr_new, self.R_cur, self.t_cur)
-            if ratio is not None and np.isfinite(ratio) and 0.05 < ratio < 20.0:
-                # rescale the whole map once (the reference keeps refining
-                # scale inside landmarkOptimizationNoFov; one-shot here)
-                self.window = self.window.replace(
-                    t=self.window.t * ratio, lmk=self.window.lmk * ratio,
-                )
-                self.t_cur = self.t_cur * ratio
-                self.dT = (self.dT[0], self.dT[1] * ratio)
-                # the recorded history must move to the new gauge too, or the
-                # output trajectory mixes two scales
-                self.traj = [(ts, R, t * ratio) for ts, R, t in self.traj]
-                self.kf_traj = [(ts, R, t * ratio) for ts, R, t in self.kf_traj]
-                self.scale_state = {"applied": True, "s": ratio, "n_est": 1}
+        if not out.get("is_kf"):
+            return out
+
+        # window rolled inside the base class: shift the history rows
+        if len(self.archived_kf) > n_arch0:
+            self.uv1_hist = np.roll(self.uv1_hist, -1, axis=0)
+            self.hist_mask = np.roll(self.hist_mask, -1, axis=0)
+            self.hist_mask[-1] = False
+            self.pyr1_hist = self.pyr1_hist[1:] + [None]
+
+        k = self.n_kf - 1
+        # chain cam-1 tracks from the previous KF to this one
+        if pyr_prev_kf is not None and self.v1_last.any():
+            uv_new, ok = self._track_cam1(
+                pyr_prev_kf, self._last_pyr,
+                jnp.asarray(self.uv1_last), jnp.asarray(self.v1_last))
+            self.uv1_last = np.array(uv_new)  # writable host copy
+            self.v1_last = np.array(ok) & self.v1_last
+
+        # reseed dead cam-1 slots BEFORE writing the observation row, so
+        # fresh tracks start accumulating window observations at this KF
+        L = self.caps.L
+        img1 = self._last_pyr[1][0]
+        uv_det, s_det, v_det = self._detect_cam1(
+            img1, jnp.asarray(self.uv1_last), jnp.asarray(self.v1_last))
+        uv_det, v_det = np.asarray(uv_det), np.asarray(v_det)
+        claimable = (~self.v1_last) & (np.arange(L) >= L // 2) \
+            & ~np.asarray(self.window.lmk_mask)
+        free = np.where(claimable)[0]
+        src = np.where(v_det)[0][: len(free)]
+        tgt = free[: len(src)]
+        self.uv1_last[tgt] = uv_det[src]
+        self.v1_last[tgt] = True
+
+        self.uv1_hist[k] = self.uv1_last
+        self.hist_mask[k] = self.v1_last
+        self.pyr1_hist[k] = tuple(self._last_pyr[1])
+
+        # dual-camera window update: cam1 observation row + triangulation,
+        # then re-run the joint BA (continuous metric-scale coupling)
+        self.window, self.obs = self._cam1_kf_update(
+            self.window, self.obs, jnp.asarray(self.uv1_last),
+            jnp.asarray(self.v1_last), k)
+        fixed_n = 1 if not self._have_priors else 0
+        fixed_n = max(fixed_n, self.cfg.fixed_frame_number if self.n_kf > 1 else 1)
+        self.window, self.obs, _ = self._backend(
+            self.window, self.obs,
+            self.imu.replace(mask=jnp.zeros_like(self.imu.mask)),
+            self.priors, fixed_n)
+        self.R_cur = self.window.R[k]
+        self.t_cur = self.window.t[k]
+        self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
+
+        # estimate + apply the scale correction
+        ratio = self._estimate_scale_window(k)
+        if ratio is not None and np.isfinite(ratio) and 0.05 < ratio < 20.0:
+            self.scale_state["n_est"] += 1
+            out["scale_ratio"] = ratio
+            if not self.scale_state["applied"]:
+                self._apply_scale_global(ratio)
+                self.scale_state["applied"] = True
+                self.scale_state["s"] = ratio
                 out["scale_applied"] = ratio
+            elif abs(ratio - 1.0) > self.SCALE_DEADBAND:
+                lo, hi = self.SCALE_STEP_CLIP
+                s = float(np.clip(ratio ** self.SCALE_DAMP, lo, hi))
+                self._apply_scale_window(s)
+                self.scale_state["s"] *= s
+                out["scale_step"] = s
         return out

@@ -100,6 +100,7 @@ class StereoSLAM:
         self.v_cur = jnp.zeros(3)
         self.dT = (jnp.eye(3), jnp.zeros(3))  # constant-velocity model
         self.kf_pyr = None  # pyramid of the last keyframe (tracking template)
+        self._last_pyr = None  # pyramids of the most recent frame
         self.kf_tmpl = None  # cached per-level template windows (KF rate)
         self.n_kf = 0
         self.key = jax.random.PRNGKey(seed)
@@ -673,6 +674,7 @@ class StereoSLAM:
         else:
             self._prefetched = None
         pyr_new = self._pyramids(images_dev)
+        self._last_pyr = pyr_new  # device refs for subclass post-processing
 
         out = {"ts": frame.ts, "is_kf": False, "ok": True}
         if not self.initialized:

@@ -227,10 +227,14 @@ def make_nofov_rig(width=320, height=240, lever=0.4, f=200.0):
 
 
 def make_nofov_world(seed=0, n_frames=60, fps=20.0, width=320, height=240,
-                     n_points=240) -> SyntheticWorld:
-    """Two blob walls (front z~[4,9], back z~[-9,-4]) seen by a nofov rig."""
+                     n_points=240, rot_scale=1.0, lever=0.4) -> SyntheticWorld:
+    """Two blob walls (front z~[4,9], back z~[-9,-4]) seen by a nofov rig.
+
+    rot_scale scales rotational excitation and lever the camera-1 mounting
+    offset: scale-from-rigidity needs the lever-arm displacement
+    |(R-I) t_s1| well above the ray noise floor."""
     rng = np.random.default_rng(seed)
-    rig = make_nofov_rig(width, height)
+    rig = make_nofov_rig(width, height, lever=lever)
     params = imu_mod.ImuParams.euroc()
 
     def wall(zlo, zhi, n):
@@ -255,7 +259,7 @@ def make_nofov_world(seed=0, n_frames=60, fps=20.0, width=320, height=240,
     T = n_frames
     dt_f = 1.0 / fps
     t_dense = np.arange(T) * dt_f
-    p_d, yaw_d, pitch_d = _trajectory(t_dense)
+    p_d, yaw_d, pitch_d = _trajectory(t_dense, rot_scale)
     R_d = np.stack([_rot(y, pp) for y, pp in zip(yaw_d, pitch_d)])
     v_d = np.gradient(p_d, dt_f, axis=0)
 
