@@ -1,19 +1,24 @@
-"""Benchmark: windowed VI-BA throughput on the target device.
+"""Benchmark: one JSON line covering the whole hot path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric: milliseconds per LM iteration of the full stereo-VIO window BA at
-window=10 keyframes, L=512 landmark slots (the BASELINE.json "BA ms/iter at
-window=10" axis).  Baseline: the reference's implied CPU budget -- 20 LM
-iterations inside its back-end real-time budget with 4 threads
-(AOptimizer.cpp:315-323); we take 10 ms/iter as the reference-parity bar.
+Headline metric (stable across rounds): milliseconds per LM iteration of the
+full stereo-VIO window BA at window=10 keyframes, L=512 landmark slots (the
+BASELINE.json "BA ms/iter at window=10" axis).  Baseline: the reference's
+implied CPU budget -- 20 LM iterations inside its back-end real-time budget
+with 4 threads (AOptimizer.cpp:315-323); 10 ms/iter is the parity bar.
 vs_baseline > 1 means faster than the bar.
 
-Measurement protocol (tunneled-TPU safe): the device plugin here can return
-from block_until_ready without having executed, so timings are forced by a
-VALUE fetch, and the solves are DEPENDENCY-CHAINED (solve k+1 consumes solve
-k's state) so fetching the final scalar provably forces every solve in the
-chain.  One fetch round trip is amortized over the whole chain.
+"submetrics" guards the rest of the system (regressions anywhere become
+machine-visible): KLT frame tracking, mesher ZNCC validation + raycast, and
+an end-to-end synthetic stereo-VIO run (ATE + wall-clock per frame at EuRoC
+shapes).  Each section is independently fault-isolated: a failure nulls its
+entry instead of killing the bench.
+
+Measurement protocol "two-point-slope-v2" (tunneled-TPU safe): the device
+plugin here can return from block_until_ready without having executed, so
+timings are forced by a VALUE fetch, and repeated ops are DEPENDENCY-CHAINED
+(call k+1 consumes call k's output) so fetching the final value provably
+forces the whole chain; t(long chain) - t(short chain) cancels the fixed
+per-fetch tunnel round trip (~26-33 ms).
 """
 
 import json
@@ -25,16 +30,14 @@ import numpy as np
 
 BASELINE_MS_PER_ITER = 10.0
 ITERS = 20
-# Two-point slope: t(CHAIN_B) - t(CHAIN_A) cancels the fixed per-fetch
-# tunnel round trip (~26-33 ms) exactly, so the metric reads device
-# throughput.  Chains deeper than ~20 unfetched solves deadlock the axon
-# tunnel's queue, so the long chain stays at 20.
+# Chains deeper than ~20 unfetched solves deadlock the axon tunnel's queue.
 CHAIN_A = 5
 CHAIN_B = 20
 REPS = 3
+PROTOCOL = "two-point-slope-v2"
 
 
-def main():
+def bench_ba():
     from __graft_entry__ import _tiny_problem
     from sadvio_tpu.backend import ba
 
@@ -59,18 +62,155 @@ def main():
         assert np.isfinite(s)
         return time.perf_counter() - t0
 
-    # compile + warm, forced by a value fetch
-    float(np.asarray(chain(problem, 1).t).sum())
+    float(np.asarray(chain(problem, 1).t).sum())  # compile + warm
 
     dt_a = min(timed(CHAIN_A) for _ in range(REPS))
     dt_b = min(timed(CHAIN_B) for _ in range(REPS))
-    ms_per_iter = (dt_b - dt_a) * 1000.0 / (ITERS * (CHAIN_B - CHAIN_A))
+    # guard: on a tunnel hiccup the slope can collapse -- fail loudly with
+    # the raw numbers rather than emit a nonsensical ms/iter
+    assert dt_b > dt_a, f"non-monotone chain timings: {dt_a:.4f}s vs {dt_b:.4f}s"
+    return (dt_b - dt_a) * 1000.0 / (ITERS * (CHAIN_B - CHAIN_A))
+
+
+def bench_klt(world, slam):
+    """Frame-rate KLT (512 slots, production engine), chained via uv."""
+    from sadvio_tpu.frontend import klt
+
+    f = world.frames[12]
+    pyr = slam._pyramids(slam._upload_images(f))
+    uv0 = slam.tracks.uv_kf[0]
+    valid = slam.tracks.valid[0]
+
+    def chain(n):
+        uv = uv0
+        for _ in range(n):
+            uv, ok, _ = klt.track(
+                slam.kf_pyr[0], pyr[0], uv0, uv, valid,
+                levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius,
+                engine=slam.klt_engine)
+        return uv
+
+    def timed(n):
+        t0 = time.perf_counter()
+        s = float(np.asarray(chain(n)).sum())
+        return time.perf_counter() - t0
+
+    float(np.asarray(chain(1)).sum())
+    dt_a = min(timed(2) for _ in range(REPS))
+    dt_b = min(timed(8) for _ in range(REPS))
+    assert dt_b > dt_a
+    return (dt_b - dt_a) * 1000.0 / 6
+
+
+def bench_mesh(world, slam):
+    """Mesher ZNCC validation + dense raycast per keyframe."""
+    from sadvio_tpu.mesh import mesh as mesh_mod
+    from sadvio_tpu.models import cameras
+
+    f = world.frames[12]
+    pyr = slam._pyramids(slam._upload_images(f))
+    cam0 = jax.tree.map(lambda x: x[0] if hasattr(x, "shape") and x.ndim > 0 else x,
+                        slam.rig.cam)
+    cam1 = jax.tree.map(lambda x: x[1] if hasattr(x, "shape") and x.ndim > 0 else x,
+                        slam.rig.cam)
+    lmk = slam.window.lmk
+    R_kf = slam.window.R[slam.n_kf - 1]
+    t_kf = slam.window.t[slam.n_kf - 1]
+    uvp, vis = cameras.project_world(
+        cam0, R_kf, t_kf, slam.rig.R_f_s[0], slam.rig.t_f_s[0], lmk)
+    tri, tmask = mesh_mod.delaunay_triangles(
+        np.asarray(uvp), np.asarray(vis & slam.window.lmk_mask), 512)
+    tri = jnp.asarray(tri)
+    tmask = jnp.asarray(tmask)
+    img0, img1 = pyr[0][0], pyr[1][0]
+
+    H, W = np.asarray(img0).shape
+
+    def one(img):
+        ok = mesh_mod.zncc_validate(
+            img, img1, lmk, tri, tmask, cam0, cam1, R_kf, t_kf,
+            slam.rig.R_f_s[0], slam.rig.t_f_s[0],
+            slam.rig.R_f_s[1], slam.rig.t_f_s[1])
+        pts, pmask = mesh_mod.raycast_pointcloud(
+            lmk, tri, tmask & ok, cam0, R_kf, t_kf,
+            slam.rig.R_f_s[0], slam.rig.t_f_s[0],
+            height=int(H), width=int(W), max_depth=12.0)
+        return pts
+
+    def chain(n):
+        img = img0
+        out = None
+        for _ in range(n):
+            out = one(img)
+            img = img0 + 1e-12 * out.sum()  # dependency link
+        return out
+
+    def timed(n):
+        t0 = time.perf_counter()
+        s = float(np.asarray(chain(n)).sum())
+        return time.perf_counter() - t0
+
+    float(np.asarray(chain(1)).sum())
+    dt_a = min(timed(2) for _ in range(REPS))
+    dt_b = min(timed(6) for _ in range(REPS))
+    assert dt_b > dt_a
+    return (dt_b - dt_a) * 1000.0 / 4
+
+
+def bench_e2e():
+    """End-to-end synthetic stereo-VIO at EuRoC shapes: ATE + wall/frame."""
+    from sadvio_tpu.pipeline import synthetic
+    from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
+    from sadvio_tpu.pipeline.slam import StereoSLAM
+
+    world = synthetic.make_world(seed=5, n_frames=30, width=752, height=480,
+                                 n_points=400, imu_noise=True)
+    cfg = SLAMConfig(
+        slam_mode="bimonovio", max_kf_number=10, min_lmk_number=40,
+        max_movement_parallax=1.0, min_movement_parallax=0.02,
+        caps=Capacities(K=11, L=512, P=48, pyr_levels=4, klt_radius=5))
+    slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
+    # warm phase compiles every stage kernel
+    for f in world.frames[:15]:
+        slam.process_frame(f)
+    t0 = time.perf_counter()
+    for f in world.frames[15:]:
+        slam.process_frame(f)
+    jax.block_until_ready(slam.t_cur)
+    est = np.asarray([t for _, _, t in slam.traj])
+    wall_ms = (time.perf_counter() - t0) * 1000.0 / len(world.frames[15:])
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    return ate * 1000.0, wall_ms, slam, world
+
+
+def main():
+    sub = {}
+    ms_per_iter = bench_ba()
+
+    slam = world = None
+    try:
+        ate_mm, wall_ms, slam, world = bench_e2e()
+        sub["e2e_synth_ate_mm"] = round(ate_mm, 3)
+        sub["e2e_wall_ms_per_frame"] = round(wall_ms, 2)
+    except Exception as e:  # pragma: no cover - fault isolation
+        sub["e2e_error"] = str(e)[:120]
+    if slam is not None:
+        try:
+            sub["klt_ms_l512"] = round(bench_klt(world, slam), 3)
+        except Exception as e:  # pragma: no cover
+            sub["klt_error"] = str(e)[:120]
+        try:
+            sub["mesh_kf_ms"] = round(bench_mesh(world, slam), 3)
+        except Exception as e:  # pragma: no cover
+            sub["mesh_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "vio_window_ba_ms_per_iter_w10_l512",
         "value": round(ms_per_iter, 4),
         "unit": "ms/iter",
         "vs_baseline": round(BASELINE_MS_PER_ITER / ms_per_iter, 3),
+        "protocol": PROTOCOL,
+        "submetrics": sub,
     }))
 
 

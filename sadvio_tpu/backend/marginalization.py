@@ -366,6 +366,12 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     Sigma_k = Ak_inv  # = U lam^-1 U^T on the kept subspace
 
     new = PriorSet.create(state.K, P, state.lmk.dtype)
+    # INVARIANT: masked prior_slots are injective over landmark slots --
+    # keep_idx comes from _top_p_indices (argsort positions of a boolean
+    # mask), which yields distinct indices by construction.  ba.slot_of_lmk
+    # and the jacfwd parameterization of the window BA both rely on this
+    # (a duplicated slot would silently desynchronize the Jacobian from
+    # _apply_dense_delta's scatter-add retraction).
     new = new.replace(prior_slots=blanket.keep_idx, prior_slot_mask=blanket.keep_mask)
 
     p_keep = _gather_lmk(state, blanket.keep_idx, blanket.keep_mask)

@@ -43,16 +43,34 @@ class BackendExecutor:
         state, stats = ba.ba_solve(problem, self.opts)  # async dispatch
         self._pending = (state, stats)
 
+    def submit_fn(self, fn, *args):
+        """Run an arbitrary jitted backend step on the executor device.
+
+        Used by the pipeline (config `multithreading`, the reference's
+        front/back-end thread split) to route its full _backend step -- BA +
+        outlier removal -- through the second device; args are transferred,
+        fn is dispatched asynchronously, and the result tuple is collected
+        with collect()."""
+        if self._pending is not None:
+            raise RuntimeError("backend solve already in flight; collect() first")
+        args = jax.device_put(args, self.device)
+        self._pending = fn(*args)
+
     @property
     def busy(self) -> bool:
         return self._pending is not None
 
     def collect(self, to_device=None):
-        """Fetch the finished state (blocks until the solve completes)."""
+        """Fetch the finished result (async: returns transferred futures)."""
         if self._pending is None:
             raise RuntimeError("nothing submitted")
-        state, stats = self._pending
+        out = self._pending
         self._pending = None
         if to_device is not None:
+            # transfer everything except the trailing stats dict
+            state, rest = out[0], out[1:]
             state = jax.device_put(state, to_device)
-        return state, stats
+            if len(rest) > 1:
+                rest = (*jax.device_put(rest[:-1], to_device), rest[-1])
+            out = (state, *rest)
+        return out

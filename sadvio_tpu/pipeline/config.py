@@ -54,6 +54,10 @@ class SLAMConfig:
     """Algorithm parameters (Config struct, ConfigFileReader.h:26-54)."""
 
     slam_mode: str = "bimonovio"  # mono|bimono|monovio|bimonovio|nofov
+    # route the window BA through a second device (the reference's
+    # front-end/back-end thread split, cpp/main.cpp:37-42; here the "thread"
+    # is async dispatch to a BackendExecutor device)
+    multithreading: bool = False
     tracker: str = "klt"
     pose_estimator: str = "pnp"
     optimizer: str = "analytic"
@@ -71,8 +75,14 @@ class SLAMConfig:
     max_length_tsh: float = 0.5
     # archive an NFR relative-pose edge (marginalizeRelative,
     # BundleAdjustmentCERESAnalytic.cpp:665-809) each time a KF is
-    # marginalized; consumed by pose-graph/loop-closure tooling
+    # marginalized; end-of-run the pose graph over the archived KFs is
+    # optimized and written out (beyond-reference consumer of the edges)
     pose_graph: bool = False
+    # descriptor global map (globalmap.cpp addFrame + long-range
+    # recoverFeatureFromMapLandmarks): marginalized landmarks are archived
+    # with their BRIEF descriptors and resurrected by projection+descriptor
+    # match when the camera revisits them
+    global_map: bool = False
     features: tuple = (FeatureConfig(),)
     caps: Capacities = Capacities()
 
@@ -135,7 +145,8 @@ def load_slam_config(path: str) -> SLAMConfig:
                 "max_length_tsh"):
         if key in y:
             kw[key.lower()] = float(y[key])
-    for key in ("marginalization", "sparsification", "mesh3d"):
+    for key in ("marginalization", "sparsification", "mesh3d", "pose_graph",
+                "global_map", "multithreading"):
         if key in y:
             kw[key] = bool(int(y[key]))
     if feats:

@@ -185,8 +185,10 @@ class MonoSLAM(StereoSLAM):
 
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks, window, obs, imu_chain, pre_cur,
-                   R_kf, t_kf, v_kf, ts, key, slot, ext_det=None):
-        # ext_det (csv detector) is a stereo-pipeline feature; unused here
+                   R_kf, t_kf, v_kf, ts, key, slot, ext_det=None,
+                   gm=None, lmk_desc=None):
+        # ext_det (csv) and gm/lmk_desc (descriptor global map) are
+        # stereo-pipeline features; accepted but unused here
         cam0 = _cam0(self.rig)
         L = self.caps.L
         img0 = pyr_new[0][0]
@@ -229,6 +231,10 @@ class MonoSLAM(StereoSLAM):
         slot_of_det = jnp.where(take, free_slots[jnp.clip(det_rank, 0, L - 1)], L)
         new_uv0 = uv0_base.at[slot_of_det].set(uv_det, mode="drop")
         new_v0 = v0_base.at[slot_of_det].set(True, mode="drop")
+        # a claimed slot is a NEW landmark identity: clear stale observation
+        # rows left by the slot's previous occupant
+        claimed = jnp.zeros((L,), bool).at[slot_of_det].set(take, mode="drop")
+        obs = obs.replace(mask=obs.mask & ~claimed[None, None, :])
 
         # write window slot + mono observation row
         window = window.replace(

@@ -125,6 +125,23 @@ class StereoSLAM:
         # globalmap.cpp:5) + optional NFR pose-graph edges (marginalizeRelative)
         self.archived_kf = []  # (ts, R, t) host-side append-only log
         self.pose_graph_edges = []  # (ts0, ts1, dx (6,), inf (6,6))
+        # descriptor global map (config global_map): archived landmark
+        # positions + BRIEF descriptors for long-range resurrection
+        self.global_map_state = None
+        self.lmk_desc = None
+        if config.global_map:
+            from sadvio_tpu.data.globalmap import GlobalMap
+
+            self.global_map_state = GlobalMap.create()
+            self.lmk_desc = jnp.zeros((L, 8), jnp.uint32)
+        # PP: route the KF-rate backend through a second device (reference
+        # front/back-end thread split -> BackendExecutor async dispatch);
+        # degenerates to same-device async dispatch with one chip
+        self.backend_exec = None
+        if config.multithreading:
+            from sadvio_tpu.parallel.pipeline_parallel import BackendExecutor
+
+            self.backend_exec = BackendExecutor()
         self.mesher = None
         if config.mesh3d and C >= 2:
             from sadvio_tpu.mesh.mesh import MeshConfig, Mesher
@@ -358,7 +375,8 @@ class StereoSLAM:
 
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
-                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot, ext_det=None):
+                   pre_cur, R_kf, t_kf, v_kf, ts, key, slot, ext_det=None,
+                   gm=None, lmk_desc=None):
         """Insert keyframe at (dynamic) slot: detect, stereo-track,
         triangulate, write observation rows (slamBiMonoVIO.cpp:481-538).
 
@@ -426,6 +444,36 @@ class StereoSLAM:
         slot_of_det = jnp.where(take, free_slots[jnp.clip(det_rank, 0, L - 1)], L)
         new_uv0 = uv0_base.at[slot_of_det].set(uv_det, mode="drop")
         new_v0 = v0_base.at[slot_of_det].set(True, mode="drop")
+        # a claimed slot is a NEW landmark identity: clear any stale
+        # observation rows left by the slot's previous occupant (otherwise
+        # the BA mixes the dead landmark's history into the new one)
+        claimed = jnp.zeros((L,), bool).at[slot_of_det].set(take, mode="drop")
+        obs = obs.replace(mask=obs.mask & ~claimed[None, None, :])
+
+        # 1c. long-range resurrection from the descriptor global map
+        # (globalmap.cpp archive + recoverFeatureFromMapLandmarks beyond the
+        # sliding window): fresh detections matching an archived landmark by
+        # projection + BRIEF descriptor adopt its archived position, so the
+        # map re-uses old structure when the camera revisits it.
+        n_gm_res = jnp.zeros((), jnp.int32)
+        if self.cfg.global_map and gm is not None:
+            from sadvio_tpu.data import globalmap as gmap
+
+            sm0 = detect.smooth3(img0)
+            det_desc = detect.brief_describe(sm0, uv_det)
+            lmk_arch, hit_a = gmap.resurrect(
+                gm, cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0],
+                uv_det, det_desc, v_det,
+            )
+            upd = hit_a & take  # only detections that claimed a slot
+            upd_slot = jnp.where(upd, slot_of_det, L)
+            window = window.replace(
+                lmk=window.lmk.at[upd_slot].set(lmk_arch, mode="drop"),
+                lmk_mask=window.lmk_mask.at[upd_slot].set(True, mode="drop"),
+                lmk_flags=window.lmk_flags.at[upd_slot].set(
+                    LMK_RESURRECTED, mode="drop"),
+            )
+            n_gm_res = jnp.sum(upd)
 
         # 2. stereo track cam0 -> cam1 (trackFeatures cam0->cam1)
         uv1, ok1, _ = klt.track(
@@ -490,6 +538,12 @@ class StereoSLAM:
             uv_kf=jnp.stack([new_uv0, uv1]),
             has3d=lmk_mask,
         )
+        if self.cfg.global_map and lmk_desc is not None:
+            # refresh slot descriptors at this KF (archived on marginalize)
+            sm0 = detect.smooth3(img0)
+            desc_new = detect.brief_describe(sm0, new_uv0)
+            lmk_desc = jnp.where(new_v0[:, None], desc_new, lmk_desc)
+            return tracks, window, obs, imu_chain, lmk_desc, n_gm_res
         return tracks, window, obs, imu_chain
 
     @partial(jax.jit, static_argnames=("self",))
@@ -512,8 +566,11 @@ class StereoSLAM:
         return new_window, obs, stats
 
     @partial(jax.jit, static_argnames=("self", "vio"))
-    def _marg_roll(self, window, obs, imu_chain, priors, tracks, vio: bool):
-        """Marginalize slot 0, shift window left (backEndStep marg branch)."""
+    def _marg_roll(self, window, obs, imu_chain, priors, tracks, vio: bool,
+                   gm=None, lmk_desc=None):
+        """Marginalize slot 0, shift window left (backEndStep marg branch).
+        With global_map, landmarks leaving the map are archived (position +
+        BRIEF descriptor) for long-range resurrection (globalmap.cpp)."""
         if self.cfg.marginalization:
             new_priors, info = marg.marginalize(
                 window, obs, self.rig, imu_chain, priors, self._ba_opts, vio=vio,
@@ -526,6 +583,10 @@ class StereoSLAM:
             elsewhere = jnp.any(obs.mask[1:], axis=(0, 1))
             marg_lmk = window.lmk_mask & seen0 & ~elsewhere
         new_priors = marg.shift_priors(new_priors)
+        if self.cfg.global_map and gm is not None:
+            from sadvio_tpu.data import globalmap as gmap
+
+            gm = gmap.archive(gm, window.lmk, lmk_desc, marg_lmk)
 
         roll = lambda x: jnp.roll(x, -1, axis=0)
         window = window.replace(
@@ -546,6 +607,8 @@ class StereoSLAM:
             valid=tracks.valid & ~marg_lmk[None, :],
             has3d=tracks.has3d & ~marg_lmk,
         )
+        if self.cfg.global_map and gm is not None:
+            return window, obs, imu_chain, new_priors, tracks, gm
         return window, obs, imu_chain, new_priors, tracks
 
     # ------------------------------------------------------------------
@@ -680,12 +743,18 @@ class StereoSLAM:
         if not self.initialized:
             R0 = self._gravity_align_init(frame) if self.vio else jnp.eye(3)
             self.R_cur = R0
-            self.tracks, self.window, self.obs, self.imu = self._insert_kf(
+            ins = self._insert_kf(
                 pyr_new, self.tracks, self.window, self.obs, self.imu,
                 self.pre_cur, R0, jnp.zeros(3), jnp.zeros(3),
                 jnp.float32(frame.ts), self._next_key(), 0,
                 ext_det=self._csv_det(frame),
+                gm=self.global_map_state, lmk_desc=self.lmk_desc,
             )
+            if self.global_map_state is not None:
+                (self.tracks, self.window, self.obs, self.imu,
+                 self.lmk_desc, _) = ins
+            else:
+                self.tracks, self.window, self.obs, self.imu = ins
             self.n_kf = 1
             self.pre_cur = imu_mod.Preintegration.identity()
             self._imu_n = 0
@@ -737,7 +806,11 @@ class StereoSLAM:
         n_lmk_h = int(health_h[3])
         force_kf = (not pnp_ok_h) or n_lmk_h < self.cfg.min_lmk_number
         vote_kf = parallax_h > self.cfg.max_movement_parallax
-        is_kf = (force_kf or vote_kf) and parallax_h >= self.cfg.min_movement_parallax
+        # forced KFs (prediction failure / landmark starvation) bypass the
+        # min-parallax gate, like the reference's dead-reckon + forced-KF
+        # path (slamBiMonoVIO.cpp:429-443)
+        is_kf = force_kf or (
+            vote_kf and parallax_h >= self.cfg.min_movement_parallax)
         if not is_kf:
             return out
 
@@ -760,20 +833,33 @@ class StereoSLAM:
                         self.kf_ts[0], self.kf_ts[1],
                         np.asarray(dx_e), np.asarray(inf_e),
                     ))
-            (self.window, self.obs, self.imu, self.priors, self.tracks) = self._marg_roll(
+            mr = self._marg_roll(
                 self.window, self.obs, self.imu, self.priors, self.tracks,
                 self.vio and self.vi_initialized,
+                gm=self.global_map_state, lmk_desc=self.lmk_desc,
             )
+            if self.global_map_state is not None:
+                (self.window, self.obs, self.imu, self.priors, self.tracks,
+                 self.global_map_state) = mr
+            else:
+                (self.window, self.obs, self.imu, self.priors, self.tracks) = mr
             if self.cfg.marginalization:
                 self._have_priors = True
             self.kf_ts.pop(0)
             self.n_kf = K - 1
         slot = self.n_kf
-        self.tracks, self.window, self.obs, self.imu = self._insert_kf(
+        ins = self._insert_kf(
             pyr_new, self.tracks, self.window, self.obs, self.imu,
             self.pre_cur, R_new, t_new, v_pred, jnp.float32(frame.ts),
             self._next_key(), slot, ext_det=self._csv_det(frame),
+            gm=self.global_map_state, lmk_desc=self.lmk_desc,
         )
+        if self.global_map_state is not None:
+            (self.tracks, self.window, self.obs, self.imu, self.lmk_desc,
+             n_gm_res) = ins
+            out["gm_resurrected"] = int(n_gm_res)
+        else:
+            self.tracks, self.window, self.obs, self.imu = ins
         self.n_kf += 1
         self.kf_ts.append(frame.ts)
         self.kf_pyr = pyr_new
@@ -793,9 +879,20 @@ class StereoSLAM:
         # out while velocities/biases are still at their zero defaults
         imu_for_ba = (self.imu if self.vi_initialized else
                       self.imu.replace(mask=jnp.zeros_like(self.imu.mask)))
-        self.window, self.obs, stats = self._backend(
-            self.window, self.obs, imu_for_ba, self.priors, fixed_n
-        )
+        if self.backend_exec is not None:
+            # full backend step (BA + outlier removal) on the executor
+            # device; collect() returns async futures, so tracking on the
+            # primary device overlaps the solve exactly like the reference's
+            # back-end thread
+            self.backend_exec.submit_fn(
+                self._backend, self.window, self.obs, imu_for_ba,
+                self.priors, fixed_n)
+            self.window, self.obs, stats = self.backend_exec.collect(
+                to_device=jax.devices()[0])
+        else:
+            self.window, self.obs, stats = self._backend(
+                self.window, self.obs, imu_for_ba, self.priors, fixed_n
+            )
         # sync current pose/velocity to the optimized keyframe
         self.R_cur = self.window.R[slot]
         self.t_cur = self.window.t[slot]
@@ -861,6 +958,35 @@ class StereoSLAM:
         self.pre_cur = self.pre_cur.replace(
             ba_lin=self.window.ba[k], bg_lin=self.window.bg[k]
         )
+
+    def optimize_archive(self):
+        """Pose-graph optimization over the archived keyframes + the current
+        window (consumes the NFR edges emitted by marginalizeRelative; the
+        reference produces the factors but never ships their consumer --
+        BundleAdjustmentCERESAnalytic.cpp:665-809).
+
+        Returns the corrected trajectory [(ts, R, t)] over archive + window
+        nodes; with no edges, returns the nodes unchanged."""
+        nodes = list(self.archived_kf)
+        for j, ts in enumerate(self.kf_ts):
+            pk = np.asarray(self._pack_pose(self.window.R[j], self.window.t[j]))
+            nodes.append((ts, pk[:9].reshape(3, 3), pk[9:]))
+        if len(nodes) < 2 or not self.pose_graph_edges:
+            return nodes
+        from sadvio_tpu.backend import posegraph as pg
+
+        ts_list = [n[0] for n in nodes]
+        ea, eb, dx, W, emask = pg.edges_from_archive(
+            self.pose_graph_edges, ts_list)
+        if ea.shape[0] == 0:
+            return nodes
+        R = jnp.asarray(np.stack([n[1] for n in nodes]))
+        t = jnp.asarray(np.stack([np.asarray(n[2]) for n in nodes]))
+        node_mask = jnp.ones((len(nodes),), bool)
+        Rn, tn, _ = pg.optimize_pose_graph(R, t, node_mask, ea, eb, dx, W,
+                                           emask)
+        Rn, tn = np.asarray(Rn), np.asarray(tn)
+        return [(ts_list[i], Rn[i], tn[i]) for i in range(len(nodes))]
 
     def reset(self):
         K, L, P = self.caps.K, self.caps.L, self.caps.P
@@ -928,6 +1054,11 @@ class StereoSLAM:
 
             os.makedirs(log_dir, exist_ok=True)
             write_results_csv(os.path.join(log_dir, "results.csv"), self.kf_traj)
+            if self.cfg.pose_graph:
+                # end-of-run pose-graph correction over the archive
+                write_results_csv(
+                    os.path.join(log_dir, "results_posegraph.csv"),
+                    self.optimize_archive())
             rows = [
                 (ts, *np.asarray(t).tolist()) for ts, _, t in self.traj
             ]

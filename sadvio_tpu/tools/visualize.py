@@ -71,6 +71,102 @@ def plot_run(slam, path, world=None):
     return plot_trajectory(t_est, path, t_gt=t_gt, cloud=cloud)
 
 
+def plot_feature_overlay(img, uv, valid, path, uv_kf=None, has3d=None,
+                         title="tracked features"):
+    """Tracked-feature image overlay (the reference visualizer's drawn-match
+    image, rosVisualizer.h:84-95): current feature positions over the frame,
+    flow tails from the last keyframe, landmark-backed tracks highlighted."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(img)
+    uv = np.asarray(uv)
+    valid = np.asarray(valid).astype(bool)
+    fig, ax = plt.subplots(figsize=(img.shape[1] / 100, img.shape[0] / 100),
+                           dpi=100)
+    ax.imshow(img, cmap="gray", vmin=0, vmax=255)
+    if uv_kf is not None:
+        uv_kf = np.asarray(uv_kf)
+        for a, b in zip(uv_kf[valid], uv[valid]):
+            ax.plot([a[0], b[0]], [a[1], b[1]], "-", color="#2dd4bf", lw=0.6)
+    if has3d is not None:
+        h = np.asarray(has3d).astype(bool)
+        ax.plot(uv[valid & ~h, 0], uv[valid & ~h, 1], ".", color="#facc15",
+                ms=3, label="2D track")
+        ax.plot(uv[valid & h, 0], uv[valid & h, 1], ".", color="#34d399",
+                ms=3, label="landmark")
+    else:
+        ax.plot(uv[valid, 0], uv[valid, 1], ".", color="#34d399", ms=3)
+    ax.set_xlim(0, img.shape[1])
+    ax.set_ylim(img.shape[0], 0)
+    ax.set_axis_off()
+    ax.set_title(title, fontsize=8)
+    fig.tight_layout(pad=0.1)
+    fig.savefig(path, dpi=100)
+    return path
+
+
+def plot_mesh_wireframe(img, uv_vertices, tri, tri_mask, path,
+                        title="mesh wireframe"):
+    """Projected mesh-triangle wireframe over the camera image (the
+    reference visualizer's mesh triangle-list markers,
+    rosVisualizer.h:195-565 publishMesh)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(img)
+    uv = np.asarray(uv_vertices)
+    tri = np.asarray(tri)
+    tm = np.asarray(tri_mask).astype(bool)
+    fig, ax = plt.subplots(figsize=(img.shape[1] / 100, img.shape[0] / 100),
+                           dpi=100)
+    ax.imshow(img, cmap="gray", vmin=0, vmax=255)
+    for a, b, c in tri[tm]:
+        pts = uv[[a, b, c, a]]
+        ax.plot(pts[:, 0], pts[:, 1], "-", color="#60a5fa", lw=0.5)
+    ax.set_xlim(0, img.shape[1])
+    ax.set_ylim(img.shape[0], 0)
+    ax.set_axis_off()
+    ax.set_title(title, fontsize=8)
+    fig.tight_layout(pad=0.1)
+    fig.savefig(path, dpi=100)
+    return path
+
+
+def snapshot(slam, frame, out_prefix):
+    """Live-pipeline snapshot: feature overlay (+ mesh wireframe when the
+    mesher is on).  Returns the list of written files."""
+    import jax
+
+    from sadvio_tpu.models import cameras
+
+    written = []
+    img0 = np.asarray(frame.images[0])
+    uv = np.asarray(slam.tracks.uv[0])
+    valid = np.asarray(slam.tracks.valid[0])
+    uv_kf = np.asarray(slam.tracks.uv_kf[0])
+    has3d = np.asarray(slam.tracks.has3d)
+    written.append(plot_feature_overlay(
+        img0, uv, valid, f"{out_prefix}_features.png", uv_kf=uv_kf,
+        has3d=has3d))
+    mesher = getattr(slam, "mesher", None)
+    if mesher is not None and getattr(mesher, "tri", None) is not None:
+        cam0 = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "shape") and np.ndim(x) > 0 else x,
+            slam.rig.cam)
+        uvp, vis = cameras.project_world(
+            cam0, slam.R_cur, slam.t_cur, slam.rig.R_f_s[0],
+            slam.rig.t_f_s[0], slam.window.lmk)
+        written.append(plot_mesh_wireframe(
+            img0, np.asarray(uvp), mesher.tri, mesher.tri_mask,
+            f"{out_prefix}_mesh.png"))
+    return written
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 2:

@@ -228,6 +228,64 @@ def test_pose_graph_edges_and_archive(world):
     flags = np.asarray(slam.window.lmk_flags)
     assert ((flags & ~(LMK_RESURRECTED | 0xFF)) == 0).all()
 
+    # -- the pose graph is APPLIED, not just collected: corrupting an
+    # archived pose and re-optimizing pulls it back via the NFR edges
+    nodes0 = slam.optimize_archive()
+    assert len(nodes0) >= len(slam.archived_kf)
+    ts1, R1, t1 = slam.archived_kf[1] if len(slam.archived_kf) > 1 \
+        else slam.archived_kf[0]
+    idx = [i for i, (ts, _, _) in enumerate(nodes0) if ts == ts1][0]
+    if idx == 0:
+        return  # node 0 is the gauge; nothing to pull back
+    t_orig = np.asarray(nodes0[idx][2])
+    slam.archived_kf[idx] = (ts1, R1, np.asarray(t1) + np.array([0.5, 0, 0]))
+    corrected = slam.optimize_archive()
+    err = np.linalg.norm(np.asarray(corrected[idx][2]) - t_orig)
+    assert err < 0.15, f"pose graph left the corrupted node {err:.3f} m away"
+
+
+def test_global_map_resurrection(world):
+    """Descriptor global map (global_map=1): landmarks wiped from the window
+    are recovered from the archive by projection + BRIEF match, restoring
+    map continuity (globalmap.cpp + long-range
+    recoverFeatureFromMapLandmarks)."""
+    import jax.numpy as jnp
+
+    from sadvio_tpu.data import globalmap as gmap
+
+    cfg = dataclasses.replace(small_config("bimono"), global_map=True)
+    slam = StereoSLAM(world.rig, cfg)
+    for f in world.frames[:14]:
+        slam.process_frame(f)
+    assert slam.initialized
+    lmk_before = np.asarray(slam.window.lmk).copy()
+    alive = np.asarray(slam.window.lmk_mask).copy()
+    assert alive.sum() > 50
+    # simulate landmarks long gone from the window: archive + wipe
+    slam.global_map_state = gmap.archive(
+        slam.global_map_state, slam.window.lmk, slam.lmk_desc,
+        jnp.asarray(alive))
+    slam.window = slam.window.replace(
+        lmk_mask=jnp.zeros_like(slam.window.lmk_mask))
+    slam.tracks = slam.tracks.replace(
+        valid=jnp.zeros_like(slam.tracks.valid),
+        has3d=jnp.zeros_like(slam.tracks.has3d))
+    n_res = 0
+    for f in world.frames[14:22]:
+        out = slam.process_frame(f)
+        n_res += out.get("gm_resurrected", 0)
+    assert n_res > 20, f"only {n_res} landmarks resurrected from the archive"
+    # resurrected landmarks carry their archived (true) positions: each must
+    # coincide with SOME original landmark (fresh slots, so compare as sets)
+    mask_now = np.asarray(slam.window.lmk_mask)
+    from sadvio_tpu.data.window import LMK_RESURRECTED
+    res = (np.asarray(slam.window.lmk_flags) & LMK_RESURRECTED) > 0
+    res_pos = np.asarray(slam.window.lmk)[mask_now & res]
+    orig = lmk_before[alive]
+    assert len(res_pos) > 5
+    d = np.linalg.norm(res_pos[:, None] - orig[None], axis=-1).min(1)
+    assert np.median(d) < 0.3, f"resurrected positions off by {np.median(d)}"
+
 
 def test_monovio_tracks_trajectory(world):
     """Monocular VIO end-to-end: bootstrap, VIInit with scale, metric ATE.

@@ -107,7 +107,10 @@ def main():
         dxd, dl, ok = ba._lm_step(prob, opts, free, lam)
         trial = ba._apply_dense_delta(st, priors, dxd)
         trial = trial.replace(lmk=trial.lmk + dl)
-        return ba.robust_cost(problem._replace(state=trial), opts) * 0 + dxd.sum() + dl.sum()
+        # keep the cost eval in the timed graph through a non-foldable path
+        # (x*0 could legally be constant-folded by the simplifier)
+        cost = ba.robust_cost(problem._replace(state=trial), opts)
+        return 1e-30 * cost + dxd.sum() + dl.sum()
 
     chain_time(iter_scalar, problem.state, "full iteration (step+cost)")
 
