@@ -35,8 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 WIN_Y = 32  # window rows (origin snapped to the 8-sublane tiling)
 WIN_X = 256  # window cols (origin snapped to the 128-lane tiling; 2 tiles
 #              so the patch never sits at a tile boundary)
-SUB_Y = 24  # iteration subwindow rows: S<=17 patch + >=6 rows drift budget;
-#             per-iteration rolls move 25% less data than the full 32 rows
 
 
 FEATS = 8  # features per program: amortizes program startup + overlaps DMAs
@@ -57,12 +55,14 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
 
     def origin(f):
         # window origin: tile-aligned (DMA slices must start on the (8,128)
-        # tiling), positioned so the feature keeps >=64 lanes / 8 rows margin
+        # tiling), positioned so the feature keeps >=64 lanes margin and
+        # sits ~12-19 rows into the window (the per-iteration 16-row slab
+        # then covers the patch across the whole drift budget)
         u0 = uv_ref[f, 0, 0]
         v0 = uv_ref[f, 0, 1]
         ox = jnp.clip(((jnp.floor(u0).astype(jnp.int32) - 64) // 128) * 128,
                       0, max_ox)
-        oy = jnp.clip(((jnp.floor(v0).astype(jnp.int32) - 16) // 8) * 8,
+        oy = jnp.clip(((jnp.floor(v0).astype(jnp.int32) - 12) // 8) * 8,
                       0, max_oy)
         return pl.multiple_of(ox, 128), pl.multiple_of(oy, 8)
 
@@ -76,6 +76,9 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
     for f in range(FEATS):
         dma_f(f, *origins[f]).start()
 
+    # rows read per iteration: patch needs S+1; round up to a sublane tile
+    ROWS = 16
+
     for f in range(FEATS):
         u0 = uv_ref[f, 0, 0]
         v0 = uv_ref[f, 0, 1]
@@ -88,27 +91,25 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
         c = nrm_ref[f, 0, 2]
         inv_det = nrm_ref[f, 0, 3]
         dma_f(f, ox, oy).wait()
-        # center ONCE: roll the full (WIN_Y, WIN_X) window so the feature's
-        # integer corner sits at (6, 48), then iterate on a (SUB_Y, 128)
-        # subwindow -- per-iteration rolls move a fraction of the data, and
-        # the subwindow lives in vregs across the fori_loop (loop-invariant)
+        # lane-align ONCE with a dynamic LANE roll (exact on Mosaic) and
+        # keep 128 lanes; rows stay window-aligned.  NOTE dynamic SUBLANE
+        # pltpu.roll is MISCOMPILED on this platform (any nonzero dynamic
+        # sublane shift returns garbage -- verified in isolation), so all
+        # row addressing below uses dynamic sublane SLICES instead.
         c0x = jnp.floor(uv_ref[f, 0, 0]).astype(jnp.int32) - ox
-        c0y = jnp.floor(uv_ref[f, 0, 1]).astype(jnp.int32) - oy
-        w24 = pltpu.roll(
-            pltpu.roll(win.at[f][:], -(c0x - 48), 1), -(c0y - 6), 0
-        )[:SUB_Y, :128]
+        wscr[:, :] = pltpu.roll(win.at[f][:], -(c0x - 48), 1)[:, :128]
         base_x = ox + c0x - 48  # image x of subwindow lane 0
-        base_y = oy + c0y - 6
+        base_y = oy
 
         def corner_frac(u, v):
             """Integer patch corner (clipped) + fractional offsets.
 
-            Mosaic cannot vector-load at dynamic lane offsets, so the
-            subwindow is circularly rolled (dynamic shift IS supported) to
-            put the patch's integer corner at the origin, then sliced
-            statically; the four bilinear taps are static +-1 shifts of
-            that roll.  Drift budget from the centered start: ~±40 lanes /
-            ±6 rows, beyond LK's convergence basin.
+            Per iteration the patch is fetched as wscr[ds(iy, ROWS)] (a
+            dynamic sublane slice) followed by a dynamic lane roll by ix --
+            the two addressing primitives Mosaic compiles correctly; the
+            four bilinear taps are static +-1 shifts of that slab.  Drift
+            budget from the centered start: ~±40 lanes / +-6 rows, beyond
+            LK's convergence basin (escapees die at the fb-check).
             """
             lx = u - base_x.astype(u.dtype) - half
             ly = v - base_y.astype(v.dtype) - half
@@ -117,51 +118,36 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
             fx = lx - ix.astype(u.dtype)
             fy = ly - iy.astype(u.dtype)
             ix = jnp.clip(ix, 0, 128 - S - 1)
-            iy = jnp.clip(iy, 0, SUB_Y - S - 1)
+            iy = jnp.clip(iy, 0, WIN_Y - ROWS)
             return ix, iy, fx, fy
 
-        def blend(fx, fy):
-            """(S,S) bilinear patch from the corner-aligned scratch."""
-            p00 = wscr[:S, :S]
-            p01 = wscr[:S, 1 : S + 1]
-            p10 = wscr[1 : S + 1, :S]
-            p11 = wscr[1 : S + 1, 1 : S + 1]
+        def patch(ix, iy, fx, fy):
+            """(S,S) bilinear patch at corner (ix, iy)."""
+            slab = pltpu.roll(wscr[pl.ds(iy, ROWS), :], -ix, 1)
+            p00 = slab[:S, :S]
+            p01 = slab[:S, 1 : S + 1]
+            p10 = slab[1 : S + 1, :S]
+            p11 = slab[1 : S + 1, 1 : S + 1]
             return (
                 p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
                 + p10 * (1 - fx) * fy + p11 * fx * fy
             )
 
         def body(_, carry):
-            u, v, ixp, iyp = carry
+            u, v = carry
             ix, iy, fx, fy = corner_frac(u, v)
-
-            # the integer corner only moves in the first couple of
-            # iterations (sub-pixel convergence after that): re-roll the
-            # corner-aligned scratch ONLY when it changed -- rolls are
-            # ~40% of the iteration's vector work
-            @pl.when((ix != ixp) | (iy != iyp))
-            def _():
-                wscr[:, :] = pltpu.roll(pltpu.roll(w24, -ix, 1), -iy, 0)
-
-            e = blend(fx, fy) - T
+            e = patch(ix, iy, fx, fy) - T
             bx = jnp.sum(e * gx)
             by = jnp.sum(e * gy)
             du = (c * bx - b * by) * inv_det
             dv = (a * by - b * bx) * inv_det
-            return (u - du, v - dv, ix, iy)
+            return (u - du, v - dv)
 
-        u, v, ixp, iyp = jax.lax.fori_loop(
-            0, iters, body, (u0, v0, jnp.int32(-1000), jnp.int32(-1000))
-        )
+        u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
 
         # final residual for the quality gate
         ix, iy, fx, fy = corner_frac(u, v)
-
-        @pl.when((ix != ixp) | (iy != iyp))
-        def _():
-            wscr[:, :] = pltpu.roll(pltpu.roll(w24, -ix, 1), -iy, 0)
-
-        err = jnp.mean(jnp.abs(blend(fx, fy) - T))
+        err = jnp.mean(jnp.abs(patch(ix, iy, fx, fy) - T))
         out_ref[f, 0, 0] = u
         out_ref[f, 0, 1] = v
         out_ref[f, 0, 2] = err
@@ -207,7 +193,7 @@ def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
         out_shape=jax.ShapeDtypeStruct((Np, 1, 3), img1.dtype),
         scratch_shapes=[
             pltpu.VMEM((F, WIN_Y, WIN_X), img1.dtype),
-            pltpu.VMEM((SUB_Y, 128), img1.dtype),
+            pltpu.VMEM((WIN_Y, 128), img1.dtype),
             pltpu.SemaphoreType.DMA((F,)),
         ],
         interpret=interpret,

@@ -65,6 +65,12 @@ class SLAMConfig:
     marginalization: bool = True
     sparsification: bool = True
     mesh3d: bool = False
+    # LM iterations of the KF-rate window BA.  The reference runs up to 20
+    # Ceres iterations with early convergence exit (AOptimizer.cpp:315-323);
+    # with deferred-acceptance LM and one linearization per iteration, 8
+    # fixed iterations match its accuracy at a fraction of the cost -- raise
+    # for harder sequences.
+    ba_iterations: int = 8
     min_kf_number: int = 3
     max_kf_number: int = 12
     fixed_frame_number: int = 1
@@ -138,7 +144,7 @@ def load_slam_config(path: str) -> SLAMConfig:
         if key in y:
             kw[key] = str(y[key])
     for key in ("min_kf_number", "max_kf_number", "fixed_frame_number",
-                "min_lmk_number"):
+                "min_lmk_number", "ba_iterations"):
         if key in y:
             kw[key] = int(y[key])
     for key in ("min_movement_parallax", "max_movement_parallax", "ZNCC_tsh",

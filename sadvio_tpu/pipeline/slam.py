@@ -185,7 +185,7 @@ class StereoSLAM:
                 self._use_csv = True
                 self._csv_folder = f.folder
         self._ba_opts = ba.BAOptions(
-            iters=8, sigma_px=jnp.float32(1.0),
+            iters=config.ba_iterations, sigma_px=jnp.float32(1.0),
             acc_walk=self.imu_params.acc_walk, gyr_walk=self.imu_params.gyr_walk,
             # optimizer dispatch (slamParameters.cpp:263-281): "angular" =
             # bearing-vector error BA (AngularAdjustmentCERESAnalytic), the
@@ -298,9 +298,19 @@ class StereoSLAM:
                 desc_t, init, tracks.valid[0], desc_c, uv_c, v_c,
                 search_radius=30.0,
             )
-            uv1 = jnp.where((idx >= 0)[:, None], uv_c[jnp.maximum(idx, 0)], init)
-            ok = tracks.valid[0] & (idx >= 0)
-            err = dist
+            uv_m = jnp.where((idx >= 0)[:, None], uv_c[jnp.maximum(idx, 0)], init)
+            ok_m = tracks.valid[0] & (idx >= 0)
+            # sub-pixel polish: matched detections are integer-pixel; a
+            # level-0 LK refinement from the KF template closes the gap to
+            # the reference's re-describe+refine (afeaturematcher re-match)
+            uv1, ok_r, err = klt.track(
+                pyr_kf[0], pyr_new[0], tracks.uv_kf[0], uv_m, ok_m,
+                levels=1, radius=self.caps.klt_radius, warp=A,
+                engine=self.klt_engine,
+            )
+            # keep the raw match when the polish diverges (fb-check fail)
+            uv1 = jnp.where(ok_r[:, None], uv1, uv_m)
+            ok = ok_m
         else:
             uv1, ok, err = klt.track(
                 pyr_kf[0], pyr_new[0], tracks.uv_kf[0], init, tracks.valid[0],

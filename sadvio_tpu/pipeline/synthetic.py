@@ -110,10 +110,21 @@ def _rot(yaw, pitch):
 def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                width=320, height=240, n_points=240,
                noise_px=0.0, imu_noise=True,
-               acc_bias=None, gyr_bias=None, rot_scale=1.0) -> SyntheticWorld:
+               acc_bias=None, gyr_bias=None, rot_scale=1.0,
+               gain_jitter=0.0, offset_jitter=0.0,
+               occluder=False) -> SyntheticWorld:
     """acc_bias/gyr_bias: optional constant (3,) sensor biases added to the
     IMU measurements -- the estimator should recover them (the reference's
-    imu_test.cpp biasEstimation pattern)."""
+    imu_test.cpp biasEstimation pattern).
+
+    Hardening knobs (the EuRoC-proxy stress configuration):
+      noise_px      per-pixel Gaussian intensity noise (sensor noise)
+      gain_jitter   per-frame, per-camera multiplicative exposure flicker
+                    (uniform in 1 +- gain_jitter)
+      offset_jitter per-frame, per-camera additive intensity offset
+      occluder      a dark disc sweeping through the image (dynamic
+                    foreground object violating photometric constancy)
+    """
     rng = np.random.default_rng(seed)
     rig = make_rig(width, height)
     params = imu_mod.ImuParams.euroc()
@@ -176,6 +187,19 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                 width, height,
             )
             imgs.append(np.asarray(img))
+        if gain_jitter > 0 or offset_jitter > 0:
+            imgs = [np.clip(
+                im * (1.0 + rng.uniform(-gain_jitter, gain_jitter))
+                + rng.uniform(-offset_jitter, offset_jitter), 0.0, 255.0)
+                for im in imgs]
+        if occluder:
+            # disc sweeping left->right and bobbing, ~12% of image width
+            ys, xs_g = np.mgrid[0:height, 0:width]
+            cx_o = (k / max(T - 1, 1)) * (width + 120.0) - 60.0
+            cy_o = height * (0.5 + 0.3 * np.sin(0.5 * k))
+            r_o = 0.12 * width
+            occ = (xs_g - cx_o) ** 2 + (ys - cy_o) ** 2 < r_o ** 2
+            imgs = [np.where(occ, 12.0, im) for im in imgs]
         if noise_px > 0:
             imgs = [im + rng.standard_normal(im.shape).astype(np.float32) * noise_px
                     for im in imgs]

@@ -94,7 +94,7 @@ def make_visualizer(node, hub: VisualizerHub, *, frame_id="world"
         path.poses.append(msg)
         path_pub.publish(path)
 
-    def on_cloud(xyz):
+    def cloud_msg(xyz):
         xyz = np.asarray(xyz, np.float32)
         msg = PointCloud2()
         msg.header = std_msgs.msg.Header(frame_id=frame_id)
@@ -104,10 +104,41 @@ def make_visualizer(node, hub: VisualizerHub, *, frame_id="world"
                        count=1) for i, n in enumerate("xyz")]
         msg.point_step, msg.row_step = 12, 12 * xyz.shape[0]
         msg.data = xyz.tobytes()
-        cloud_pub.publish(msg)
+        return msg
+
+    # local/global cloud split (rosVisualizer.h publishes both: the live
+    # window landmarks and the archived global map)
+    global_pub = node.create_publisher(PointCloud2, "slam/global_cloud", 5)
+    dense_pub = node.create_publisher(PointCloud2, "slam/dense_cloud", 5)
+    hub.subscribe("local_cloud", lambda x: cloud_pub.publish(cloud_msg(x)))
+    hub.subscribe("global_cloud", lambda x: global_pub.publish(cloud_msg(x)))
+    hub.subscribe("dense_cloud", lambda x: dense_pub.publish(cloud_msg(x)))
+
+    # mesh triangle list (rosVisualizer.h:195-565 publishMesh)
+    from visualization_msgs.msg import Marker
+
+    mesh_pub = node.create_publisher(Marker, "slam/mesh", 2)
+
+    def on_mesh(payload):
+        verts = np.asarray(payload["vertices"], np.float32)  # (V,3)
+        tri = np.asarray(payload["triangles"], np.int64)  # (T,3)
+        m = Marker()
+        m.header.frame_id = frame_id
+        m.type = Marker.TRIANGLE_LIST
+        m.action = Marker.ADD
+        m.scale.x = m.scale.y = m.scale.z = 1.0
+        m.color.r, m.color.g, m.color.b, m.color.a = 0.3, 0.7, 1.0, 0.5
+        from geometry_msgs.msg import Point
+
+        for a, b, c in tri:
+            for i in (a, b, c):
+                m.points.append(Point(x=float(verts[i, 0]),
+                                      y=float(verts[i, 1]),
+                                      z=float(verts[i, 2])))
+        mesh_pub.publish(m)
 
     hub.subscribe("pose", on_pose)
-    hub.subscribe("local_cloud", on_cloud)
+    hub.subscribe("mesh", on_mesh)
 
 
 def main(args=None):  # pragma: no cover - needs rclpy
@@ -145,10 +176,26 @@ def main(args=None):  # pragma: no cover - needs rclpy
 
     def run_slam():
         for frame in provider:
-            slam.process_frame(frame)
-            st = slam.state
-            hub.publish_keyframe(R=np.asarray(st.R[-1]),
-                                 t=np.asarray(st.t[-1]))
+            out = slam.process_frame(frame)
+            if not out.get("is_kf"):
+                continue
+            w = slam.window
+            lmask = np.asarray(w.lmk_mask)
+            hub.publish_keyframe(
+                R=np.asarray(slam.R_cur), t=np.asarray(slam.t_cur),
+                cloud=np.asarray(w.lmk)[lmask])
+            if slam.global_map_state is not None:
+                gmask = np.asarray(slam.global_map_state.mask)
+                hub.publish("global_cloud",
+                            np.asarray(slam.global_map_state.pos)[gmask])
+            if slam.mesher is not None:
+                tm = np.asarray(slam.mesher.tri_mask)
+                hub.publish("mesh", {
+                    "vertices": np.asarray(w.lmk),
+                    "triangles": np.asarray(slam.mesher.tri)[tm]})
+                dense = slam.mesher.dense_points()
+                if len(dense):
+                    hub.publish("dense_cloud", dense)
 
     t = threading.Thread(target=run_slam, daemon=True)
     t.start()

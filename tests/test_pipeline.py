@@ -82,6 +82,21 @@ def test_bimonovio_recovers_imu_bias():
     assert np.linalg.norm(ba_est - acc_bias) < 0.15, f"accel bias {ba_est}"
 
 
+def test_bimonovio_hardened_world():
+    """EuRoC-proxy stress: per-pixel noise + exposure flicker + a moving
+    occluding object.  The full stereo-VIO stack (KLT fb-check, epipolar
+    gate, Huber BA, outlier removal, ESKF) must hold the ATE bar."""
+    w = synthetic.make_world(seed=9, n_frames=40, width=320, height=240,
+                             n_points=200, imu_noise=True, noise_px=2.0,
+                             gain_jitter=0.12, offset_jitter=8.0,
+                             occluder=True)
+    slam = StereoSLAM(w.rig, small_config("bimonovio"), imu_params=w.imu_params)
+    est = slam.run(w.frames)
+    assert slam.n_resets == 0, "stress world should not force a reset"
+    ate = synthetic.ate_rmse(est, w.gt_t[: len(est)])
+    assert ate < 0.08, f"hardened-world ATE {ate:.4f} m"
+
+
 def test_bimonovio_window_rolls_with_vio_prior(world):
     """Stereo VIO with a small window: marginalization + sparsifyVIO prior
     (15-dof state prior + pose-relative landmark factors) live e2e, with
@@ -157,9 +172,9 @@ def test_bimono_matcher_tracking(world):
     slam = StereoSLAM(world.rig, cfg)
     est = slam.run(world.frames[:25])
     ate = synthetic.ate_rmse(est, world.gt_t[:len(est)])
-    # matcher tracking is integer-pixel (no subpixel refinement): accept a
-    # coarser bound than KLT but still a sane trajectory
-    assert ate < 0.15, f"matcher-mode ATE {ate:.4f} m"
+    # integer-pixel matches get a level-0 LK sub-pixel polish (the
+    # reference re-describes + refines): KLT-grade accuracy expected
+    assert ate < 0.05, f"matcher-mode ATE {ate:.4f} m"
     assert len(slam.kf_traj) >= 2
 
 
