@@ -116,6 +116,12 @@ class StereoSLAM:
         self.n_resets = 0  # re-initialization count (failure recovery)
         self.traj = []  # (ts, R, t) at frame rate
         self.kf_traj = []
+        # frame-rate VIO state log rows (ts, t, v, ba, bg) -- the
+        # vio_poses.csv layout (slamBiMonoVIO.cpp:616-642); ba/bg are the
+        # KF-rate host mirrors (refreshed by the _pack_state fetch)
+        self.vio_log = []
+        self._ba_h = np.zeros(3)
+        self._bg_h = np.zeros(3)
         self.kf_ts = []  # host mirror of active window-slot timestamps
         self._have_priors = False  # host mirror of any(priors.sp_mask)
         self._prefetched = None  # next frame's device images (run() pipeline)
@@ -222,6 +228,15 @@ class StereoSLAM:
         """12-float pose pack: ONE device->host fetch instead of two."""
         return jnp.concatenate([R.reshape(-1), t])
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _pack_state(self, window, slot):
+        """21-float KF state pack (R,t,v,ba,bg): one fetch refreshes every
+        host mirror at keyframe rate."""
+        return jnp.concatenate([
+            window.R[slot].reshape(-1), window.t[slot], window.v[slot],
+            window.ba[slot], window.bg[slot],
+        ])
+
     def _upload_images(self, frame):
         """Host->device image transfer in the provider's dtype.
 
@@ -236,7 +251,8 @@ class StereoSLAM:
 
     @partial(jax.jit, static_argnames=("self",))
     def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred,
-                  t_pred, key, kf_tmpl=None, eskf_on=False, pre_cov=None):
+                  t_pred, key, kf_tmpl=None, eskf_on=False, pre_cov=None,
+                  v_pred=None):
         """Track cam0 from the last-KF template, PnP-predict, epipolar-gate.
 
         Tracking is always keyframe->current (slamCore.cpp:339 trackFeatures
@@ -248,6 +264,8 @@ class StereoSLAM:
         ESKF update (slamBiMonoVIO.cpp:409-419, ESKFEstimator.cpp:66-178).
         """
         cam0 = _cam0(self.rig)
+        if v_pred is None:
+            v_pred = jnp.zeros(3)
         # KLT init: project landmarks with the predicted pose (predictFeature,
         # slamCore.cpp:264); fall back to the last tracked position
         uv_proj, vis = cameras.project_world(
@@ -370,16 +388,17 @@ class StereoSLAM:
         n_trk = jnp.sum(ok)
         parallax = jnp.sum(jnp.where(ok, par, 0.0)) / jnp.maximum(n_trk, 1)
         n_lmk_trk = jnp.sum(ok & tracks.has3d & window.lmk_mask)
-        # health scalars + the new pose packed into one array: the host
-        # fetches everything this frame needs with a single device->host
-        # transfer (each separate bool()/float()/np.asarray costs a full
-        # ~29 ms RPC round trip on tunneled devices)
+        # health scalars + the new pose (+ predicted velocity, for the
+        # frame-rate VIO state log) packed into one array: the host fetches
+        # everything this frame needs with a single device->host transfer
+        # (each separate bool()/float()/np.asarray costs a full ~29 ms RPC
+        # round trip on tunneled devices)
         health = jnp.concatenate([
             jnp.stack([
                 pnp_ok.astype(jnp.float32), parallax,
                 n_trk.astype(jnp.float32), n_lmk_trk.astype(jnp.float32),
             ]),
-            R_new.reshape(-1), t_new,
+            R_new.reshape(-1), t_new, v_pred,
         ])
         return tracks, R_new, t_new, health
 
@@ -783,6 +802,7 @@ class StereoSLAM:
             R_pred, t_pred, self._next_key(), kf_tmpl=self.kf_tmpl,
             eskf_on=jnp.asarray(self.vi_initialized and self._imu_n > 0),
             pre_cov=self.pre_cur.cov if self.vio else None,
+            v_pred=v_pred,
         )
         health_h = np.asarray(health)  # ONE device->host fetch (health + pose)
         pnp_ok_h = bool(health_h[0] > 0.5)
@@ -800,6 +820,10 @@ class StereoSLAM:
         self.dT = geo.pose_compose(Ri, ti, R_new, t_new)
         self.R_cur, self.t_cur, self.v_cur = R_new, t_new, v_pred
         self.traj.append((frame.ts, R_h, t_h))
+        if self.vio:
+            v_h = health_h[16:19].copy()
+            self.vio_log.append((frame.ts, *t_h, *v_h, *self._ba_h,
+                                 *self._bg_h))
         out["pose"] = (R_h, t_h)
         out["pnp_ok"] = pnp_ok_h
         out["n_tracked"] = int(health_h[2])
@@ -910,8 +934,10 @@ class StereoSLAM:
         self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
         if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
             self._run_vi_init()
-        pk = np.asarray(self._pack_pose(self.R_cur, self.t_cur))
-        self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:]))
+        pk = np.asarray(self._pack_state(self.window, slot))
+        self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:12]))
+        self._ba_h = pk[15:18].copy()
+        self._bg_h = pk[18:21].copy()
         out["ba_cost"] = float(stats["cost"])
         out["vi_initialized"] = self.vi_initialized
 
@@ -1016,6 +1042,8 @@ class StereoSLAM:
         self._have_priors = False
         self.initialized = False
         self.vi_initialized = not self.vio
+        self._ba_h = np.zeros(3)
+        self._bg_h = np.zeros(3)
         self.successive_fails = 0
         self.n_resets += 1
 
@@ -1069,7 +1097,9 @@ class StereoSLAM:
                 write_results_csv(
                     os.path.join(log_dir, "results_posegraph.csv"),
                     self.optimize_archive())
-            rows = [
+            # frame-rate VIO state (pose, velocity, biases) when available,
+            # else position-only rows
+            rows = self.vio_log if self.vio_log else [
                 (ts, *np.asarray(t).tolist()) for ts, _, t in self.traj
             ]
             write_vio_csv(os.path.join(log_dir, "vio_poses.csv"), rows)
