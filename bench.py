@@ -158,27 +158,30 @@ def bench_mesh(world, slam):
 
 
 def bench_e2e():
-    """End-to-end synthetic stereo-VIO at EuRoC shapes: ATE + wall/frame."""
+    """End-to-end synthetic stereo-VIO at EuRoC shapes: ATE + wall/frame.
+
+    Frames ship as uint8 (real camera data is 8-bit; 4x less tunnel wire)
+    and run through StereoSLAM.run's prefetch pipeline -- the production
+    EuRoC deployment path."""
     from sadvio_tpu.pipeline import synthetic
     from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
     from sadvio_tpu.pipeline.slam import StereoSLAM
 
     world = synthetic.make_world(seed=5, n_frames=30, width=752, height=480,
                                  n_points=400, imu_noise=True)
+    frames = [f._replace(images=np.clip(f.images, 0, 255).astype(np.uint8))
+              for f in world.frames]
     cfg = SLAMConfig(
         slam_mode="bimonovio", max_kf_number=10, min_lmk_number=40,
         max_movement_parallax=1.0, min_movement_parallax=0.02,
         caps=Capacities(K=11, L=512, P=48, pyr_levels=4, klt_radius=5))
     slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
-    # warm phase compiles every stage kernel
-    for f in world.frames[:15]:
-        slam.process_frame(f)
+    slam.run(frames[:15])  # warm phase compiles every stage kernel
     t0 = time.perf_counter()
-    for f in world.frames[15:]:
-        slam.process_frame(f)
+    slam.run(frames[15:])
     jax.block_until_ready(slam.t_cur)
     est = np.asarray([t for _, _, t in slam.traj])
-    wall_ms = (time.perf_counter() - t0) * 1000.0 / len(world.frames[15:])
+    wall_ms = (time.perf_counter() - t0) * 1000.0 / len(frames[15:])
     ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
     return ate * 1000.0, wall_ms, slam, world
 
