@@ -122,7 +122,12 @@ def scale_grid(R_b, d_unit, R_f_s1, t_f_s1, rays1_kf, rays1_cur, valid,
          ) / jnp.where(jnp.abs(denom) < 1e-18, 1e-18, denom)
     s_par = -B / jnp.where(jnp.abs(A) < 1e-18, 1e-18, 2 * A)
     same_bracket = (s_par > jnp.minimum(x0, x2)) & (s_par < jnp.maximum(x0, x2))
-    s = jnp.where((A > 0) & same_bracket, s_par, s)
+    # refine only inside one monotone half of the grid: the +s and -s halves
+    # are concatenated, so a triple spanning the seam (or a clipped endpoint
+    # duplicating x1) fits a meaningless parabola
+    same_half = (im // half == i // half) & (ip // half == i // half) \
+        & (im != i) & (ip != i)
+    s = jnp.where((A > 0) & same_bracket & same_half, s_par, s)
 
     err = _epi_angle(R_1, a + s * b, rays1_kf, rays1_cur)
     inl = valid & (err < jnp.deg2rad(inlier_angle_deg))

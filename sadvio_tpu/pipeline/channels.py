@@ -38,7 +38,10 @@ def claim_slots(stale, fresh, age):
     """
     M = stale.shape[0]
     N = fresh.shape[0]
-    slot_order = jnp.argsort(jnp.where(stale, -age, jnp.int32(-10 ** 6)))
+    # stale slots first (oldest first), active slots pushed to the END
+    # (+10**6; a negative sentinel would sort active slots FIRST and
+    # permanently block spawning once any slot is live)
+    slot_order = jnp.argsort(jnp.where(stale, -age, jnp.int32(10 ** 6)))
     det_order = jnp.argsort(~fresh)  # fresh first
     n_spawn = jnp.minimum(jnp.sum(stale), jnp.sum(fresh))
     take = jnp.arange(M) < jnp.minimum(n_spawn, N)

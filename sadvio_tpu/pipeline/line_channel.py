@@ -115,18 +115,14 @@ class LineChannel:
         age = jnp.where(tracked, 0, age + 1)
 
         # spawn: unmatched, well-triangulated detections claim stale slots
+        # (shared fixed-shape slot allocator, pipeline.channels.claim_slots)
+        from sadvio_tpu.pipeline.channels import claim_slots
+
         det_claimed = jnp.zeros((self.n_detect,), bool)
         det_claimed = det_claimed.at[jnp.maximum(idx_map, 0)].max(tracked0)
         fresh = cand_ok & ~det_claimed
         stale = (~mask) | (age > self.W)
-        # rank stale slots (freeing oldest first) and fresh detections
-        slot_order = jnp.argsort(jnp.where(stale, -age, jnp.int32(-10**6)))
-        det_order = jnp.argsort(~fresh)  # fresh first
-        n_spawn = jnp.minimum(jnp.sum(stale), jnp.sum(fresh))
-        take = jnp.arange(self.M) < jnp.minimum(n_spawn, self.n_detect)
-        tgt = slot_order[: self.M]
-        src = det_order[jnp.minimum(jnp.arange(self.M), self.n_detect - 1)]
-        do = take & stale[tgt] & fresh[src]
+        tgt, src, do = claim_slots(stale, fresh, age)
         p0 = p0.at[tgt].set(jnp.where(do[:, None], c0[src], p0[tgt]))
         p1 = p1.at[tgt].set(jnp.where(do[:, None], c1[src], p1[tgt]))
         mask = mask.at[tgt].set(jnp.where(do, True, mask[tgt]))

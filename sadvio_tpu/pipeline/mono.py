@@ -44,6 +44,10 @@ class MonoSLAM(StereoSLAM):
         self.vio_init_kfs = vio_init_kfs
         self._vi_opt_scale = True  # monocular: VIInit(optim_scale=true)
         self._cam0_slot_limit = self.caps.L  # nofov restricts to L/2
+        # the descriptor global map is a stereo-pipeline feature (mono's
+        # _insert_kf has no gm path); disable rather than crash on unpack
+        self.global_map_state = None
+        self.lmk_desc = None
         self._boot = None  # (pyr0, tracks uv at KF0)
 
     # ------------------------------------------------------------------

@@ -161,6 +161,36 @@ class NoFovSLAM(MonoSLAM):
 
     # -- scale estimation over the longest window baseline ---------------
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _scale_baseline(self, pyr_o, pyr_k, R_o, t_o, R_k, t_k,
+                        uv_o, uv_k, common):
+        """One baseline's full scale estimate, packed into a 4-vector
+        [tn, degenerate, s, ok] -- ONE device->host fetch per baseline
+        instead of ~6 blocking scalar round trips (each ~29 ms on the
+        tunneled chip)."""
+        cam1 = _cam(self.rig, 1)
+        Ri, ti = geo.pose_inverse(R_o, t_o)
+        R_b, t_b = geo.pose_compose(Ri, ti, R_k, t_k)
+        tn = jnp.linalg.norm(t_b)
+        d = t_b / jnp.maximum(tn, 1e-12)
+        deg = nofov.is_degenerate_motion(
+            R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
+            min_lever=self.MIN_LEVER)
+        R_1 = self.rig.R_f_s[1].T @ R_b @ self.rig.R_f_s[1]
+        uv_ref, ok_ref = self._track_cam1_refine(
+            pyr_o, pyr_k, uv_o, uv_k, common, R_1)
+        common2 = common & ok_ref
+        rays_o = cam1.backproject(uv_o)
+        rays_k = cam1.backproject(uv_ref)
+        lo, hi = self.RATIO_RANGE
+        s, inl, ok_s = nofov.scale_grid(
+            R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
+            rays_o, rays_k, common2,
+            jnp.float32(lo) * tn, jnp.float32(hi) * tn,
+        )
+        ok = ok_s & (jnp.sum(common2) >= 12) & (tn > 1e-5) & ~deg & (s > 0)
+        return jnp.stack([tn, deg.astype(tn.dtype), s, ok.astype(tn.dtype)])
+
     def _estimate_scale_window(self, k):
         """Robust scale over every usable window baseline (o -> k).
 
@@ -171,45 +201,21 @@ class NoFovSLAM(MonoSLAM):
         the median correction or None.
         """
         ratios = []
-        cam1 = _cam(self.rig, 1)
         for o in range(0, k):
             common = self.hist_mask[o] & self.hist_mask[k]
-            if int(common.sum()) < 12:
-                continue
-            R_o = self.window.R[o]
-            t_o = self.window.t[o]
-            R_k = self.window.R[k]
-            t_k = self.window.t[k]
-            Ri, ti = geo.pose_inverse(R_o, t_o)
-            R_b, t_b = geo.pose_compose(Ri, ti, R_k, t_k)
-            tn = float(jnp.linalg.norm(t_b))
-            if tn < 1e-5:
-                continue
-            d = t_b / tn
-            if bool(nofov.is_degenerate_motion(
-                    R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
-                    min_lever=self.MIN_LEVER)):
+            if int(common.sum()) < 12:  # host-side masks: free
                 continue
             if self.pyr1_hist[o] is None or self.pyr1_hist[k] is None:
                 continue
-            R_1 = self.rig.R_f_s[1].T @ R_b @ self.rig.R_f_s[1]
-            uv_ref, ok_ref = self._track_cam1_refine(
+            vals = np.asarray(self._scale_baseline(
                 self.pyr1_hist[o], self.pyr1_hist[k],
+                self.window.R[o], self.window.t[o],
+                self.window.R[k], self.window.t[k],
                 jnp.asarray(self.uv1_hist[o]), jnp.asarray(self.uv1_hist[k]),
-                jnp.asarray(common), R_1)
-            common2 = common & np.array(ok_ref)
-            if int(common2.sum()) < 12:
-                continue
-            rays_o = cam1.backproject(jnp.asarray(self.uv1_hist[o]))
-            rays_k = cam1.backproject(uv_ref)
-            lo, hi = self.RATIO_RANGE
-            s, inl, ok_s = nofov.scale_grid(
-                R_b, d, self.rig.R_f_s[1], self.rig.t_f_s[1],
-                rays_o, rays_k, jnp.asarray(common2),
-                jnp.float32(lo * tn), jnp.float32(hi * tn),
-            )
-            if bool(ok_s) and float(s) > 0:
-                ratios.append(float(s) / tn)
+                jnp.asarray(common)))
+            tn, deg, s, ok = vals
+            if ok > 0.5:
+                ratios.append(float(s) / float(tn))
         if not ratios:
             return None
         return float(np.median(ratios))
@@ -293,6 +299,14 @@ class NoFovSLAM(MonoSLAM):
         tgt = free[: len(src)]
         self.uv1_last[tgt] = uv_det[src]
         self.v1_last[tgt] = True
+        if len(tgt):
+            # a reseeded slot is a NEW landmark identity: clear the dead
+            # track's observation rows and history (otherwise triangulation
+            # and the scale estimator mix two physical features)
+            cleared = jnp.zeros((L,), bool).at[jnp.asarray(tgt)].set(True)
+            self.obs = self.obs.replace(
+                mask=self.obs.mask & ~cleared[None, None, :])
+            self.hist_mask[:, tgt] = False
 
         self.uv1_hist[k] = self.uv1_last
         self.hist_mask[k] = self.v1_last

@@ -717,16 +717,40 @@ class StereoSLAM:
 
     def _csv_det(self, frame):
         """Load precomputed keypoints for this frame's timestamp (csv
-        detector path); timestamps are EuRoC-style nanoseconds."""
+        detector path); filenames are EuRoC-style nanosecond stamps.
+
+        float64 seconds cannot round-trip EuRoC-magnitude ns stamps (ULP
+        ~3e2 ns at 1.4e9 s), so the folder's stamps are indexed once and the
+        nearest one within 1 ms is used instead of an exact reconstruction."""
         if not self._use_csv:
             return None
+        import os
+
         from sadvio_tpu.frontend import csv_keypoints
 
+        if not hasattr(self, "_csv_stamps"):
+            stamps = []
+            try:
+                for fn in os.listdir(self._csv_folder):
+                    if fn.endswith(".csv"):
+                        try:
+                            stamps.append(int(fn[:-4]))
+                        except ValueError:
+                            pass
+            except OSError:
+                pass
+            self._csv_stamps = np.sort(np.asarray(stamps, np.int64))
+        ts_ns = int(round(frame.ts * 1e9))
+        if len(self._csv_stamps):
+            i = int(np.searchsorted(self._csv_stamps, ts_ns))
+            cands = [j for j in (i - 1, i) if 0 <= j < len(self._csv_stamps)]
+            best = min(cands, key=lambda j: abs(int(self._csv_stamps[j]) - ts_ns))
+            if abs(int(self._csv_stamps[best]) - ts_ns) < int(1e6):  # 1 ms
+                ts_ns = int(self._csv_stamps[best])
         # desc_dim=0: the KLT tracker path needs positions only (descriptors
         # in the file, of any width, are ignored)
         uv, _, v = csv_keypoints.load_csv_keypoints(
-            self._csv_folder, int(round(frame.ts * 1e9)), capacity=256,
-            desc_dim=0)
+            self._csv_folder, ts_ns, capacity=256, desc_dim=0)
         return (uv, v)
 
     def _gravity_align_init(self, frame):
@@ -840,11 +864,13 @@ class StereoSLAM:
         n_lmk_h = int(health_h[3])
         force_kf = (not pnp_ok_h) or n_lmk_h < self.cfg.min_lmk_number
         vote_kf = parallax_h > self.cfg.max_movement_parallax
-        # forced KFs (prediction failure / landmark starvation) bypass the
-        # min-parallax gate, like the reference's dead-reckon + forced-KF
-        # path (slamBiMonoVIO.cpp:429-443)
-        is_kf = force_kf or (
-            vote_kf and parallax_h >= self.cfg.min_movement_parallax)
+        # PnP failure bypasses the min-parallax gate entirely (the
+        # reference's dead-reckon + forced-KF path, slamBiMonoVIO.cpp:429-443);
+        # landmark-starvation forcing keeps the gate so a stationary starved
+        # camera does not insert zero-baseline KFs at frame rate
+        is_kf = (not pnp_ok_h) or (
+            (force_kf or vote_kf)
+            and parallax_h >= self.cfg.min_movement_parallax)
         if not is_kf:
             return out
 

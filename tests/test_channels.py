@@ -23,6 +23,25 @@ def chan_config(extra_feature, **kw):
         caps=Capacities(K=6, L=160, P=24, pyr_levels=3, klt_radius=5), **kw)
 
 
+def test_claim_slots_spawns_while_slots_active():
+    """Regression: the slot allocator once sorted ACTIVE slots first (a
+    negative sentinel under ascending argsort), so no channel could spawn a
+    landmark after its first keyframe."""
+    import jax.numpy as jnp
+
+    from sadvio_tpu.pipeline.channels import claim_slots
+
+    stale = jnp.asarray([False, False, False, True, True])
+    age = jnp.asarray([0, 1, 2, 7, 9], jnp.int32)
+    fresh = jnp.asarray([True, True, False, False])
+    tgt, src, do = claim_slots(stale, fresh, age)
+    claimed = np.asarray(tgt)[np.asarray(do)]
+    assert int(np.asarray(do).sum()) == 2
+    assert set(claimed.tolist()) == {3, 4}
+    # oldest stale slot claimed first
+    assert claimed[0] == 4
+
+
 @pytest.fixture(scope="module")
 def world():
     return synthetic.make_world(seed=11, n_frames=24, width=320, height=240,
