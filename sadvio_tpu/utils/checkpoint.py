@@ -24,20 +24,40 @@ def _flatten(tree):
     return [np.asarray(l) for l in leaves], treedef
 
 
-def save_slam(path: str, slam) -> None:
-    """Serialize a StereoSLAM instance's estimator state."""
+def _device_state(slam):
     state = {
         "window": slam.window, "obs": slam.obs, "priors": slam.priors,
         "imu": slam.imu, "tracks": slam.tracks, "pre_cur": slam.pre_cur,
         "R_cur": slam.R_cur, "t_cur": slam.t_cur, "v_cur": slam.v_cur,
         "dT": slam.dT, "key": slam.key,
     }
-    leaves, _ = _flatten(state)
+    if getattr(slam, "global_map_state", None) is not None:
+        state["gm"] = slam.global_map_state
+        state["lmk_desc"] = slam.lmk_desc
+    return state
+
+
+def save_slam(path: str, slam) -> None:
+    """Serialize a StereoSLAM instance's estimator state."""
+    leaves, _ = _flatten(_device_state(slam))
     scalars = {
         "n_kf": slam.n_kf, "initialized": slam.initialized,
+        "vi_initialized": slam.vi_initialized,
+        "have_priors": slam._have_priors,
+        "imu_n": slam._imu_n,
+        "n_resets": slam.n_resets,
+        "kf_ts": list(slam.kf_ts),
+        "ba_h": np.asarray(slam._ba_h).tolist(),
+        "bg_h": np.asarray(slam._bg_h).tolist(),
         "successive_fails": slam.successive_fails,
         "traj": [(ts, R.tolist(), t.tolist()) for ts, R, t in slam.traj],
         "kf_traj": [(ts, R.tolist(), t.tolist()) for ts, R, t in slam.kf_traj],
+        "archived_kf": [(ts, np.asarray(R).tolist(), np.asarray(t).tolist())
+                        for ts, R, t in slam.archived_kf],
+        "pose_graph_edges": [
+            (ts0, ts1, np.asarray(dx).tolist(), np.asarray(inf).tolist())
+            for ts0, ts1, dx, inf in slam.pose_graph_edges],
+        "vio_log": [list(map(float, r)) for r in slam.vio_log],
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(
@@ -52,12 +72,7 @@ def load_slam(path: str, slam) -> None:
     (shapes must match -- asserted leaf by leaf).
     """
     data = np.load(path, allow_pickle=False)
-    state = {
-        "window": slam.window, "obs": slam.obs, "priors": slam.priors,
-        "imu": slam.imu, "tracks": slam.tracks, "pre_cur": slam.pre_cur,
-        "R_cur": slam.R_cur, "t_cur": slam.t_cur, "v_cur": slam.v_cur,
-        "dT": slam.dT, "key": slam.key,
-    }
+    state = _device_state(slam)
     leaves, treedef = jax.tree_util.tree_flatten(state)
     names = [k for k in data.files if k != "meta"]
     names.sort(key=lambda s: int(s.split("_")[1]))
@@ -79,9 +94,28 @@ def load_slam(path: str, slam) -> None:
     slam.v_cur = state["v_cur"]
     slam.dT = state["dT"]
     slam.key = state["key"]
+    if "gm" in state:
+        slam.global_map_state = state["gm"]
+        slam.lmk_desc = state["lmk_desc"]
     meta = json.loads(bytes(data["meta"]).decode())
     slam.n_kf = int(meta["n_kf"])
     slam.initialized = bool(meta["initialized"])
+    slam.vi_initialized = bool(meta.get("vi_initialized", not slam.vio))
+    slam._have_priors = bool(meta.get("have_priors", False))
+    slam._imu_n = int(meta.get("imu_n", 0))
+    slam.n_resets = int(meta.get("n_resets", 0))
+    slam.kf_ts = list(meta.get("kf_ts", []))
+    slam._ba_h = np.asarray(meta.get("ba_h", [0.0] * 3))
+    slam._bg_h = np.asarray(meta.get("bg_h", [0.0] * 3))
     slam.successive_fails = int(meta["successive_fails"])
     slam.traj = [(ts, np.asarray(R), np.asarray(t)) for ts, R, t in meta["traj"]]
     slam.kf_traj = [(ts, np.asarray(R), np.asarray(t)) for ts, R, t in meta["kf_traj"]]
+    slam.archived_kf = [(ts, np.asarray(R), np.asarray(t))
+                        for ts, R, t in meta.get("archived_kf", [])]
+    slam.pose_graph_edges = [
+        (ts0, ts1, np.asarray(dx), np.asarray(inf))
+        for ts0, ts1, dx, inf in meta.get("pose_graph_edges", [])]
+    slam.vio_log = [tuple(r) for r in meta.get("vio_log", [])]
+    # tracking templates (kf_pyr/kf_tmpl) are not serialized: the next
+    # keyframe re-detects and re-caches them (self-healing, one degraded
+    # inter-KF track at most)

@@ -45,6 +45,11 @@ def test_checkpoint_resume_identical(world, tmp_path):
     ta = np.asarray([t for _, _, t in a.traj])
     tb = np.asarray([t for _, _, t in b.traj])
     np.testing.assert_allclose(ta, tb, atol=1e-6)
+    # host-side mirrors restored (round-3 fields)
+    assert b.vi_initialized == a.vi_initialized
+    assert b._have_priors == a._have_priors
+    assert b.kf_ts == a.kf_ts
+    assert len(b.archived_kf) == len(a.archived_kf)
 
 
 def test_run_logging(world, tmp_path):
