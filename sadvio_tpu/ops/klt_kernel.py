@@ -41,7 +41,8 @@ FEATS = 8  # features per program: amortizes program startup + overlaps DMAs
 
 
 def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
-               win, wscr, sem, *, S: int, iters: int, height: int, width: int):
+               win, wscr, wal, sem, *, S: int, iters: int, height: int,
+               width: int):
     """FEATS features per program: pipelined window DMAs, then per-feature
     IC-LK iteration loops out of VMEM.
 
@@ -121,33 +122,47 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
             iy = jnp.clip(iy, 0, WIN_Y - ROWS)
             return ix, iy, fx, fy
 
-        def patch(ix, iy, fx, fy):
-            """(S,S) bilinear patch at corner (ix, iy)."""
-            slab = pltpu.roll(wscr[pl.ds(iy, ROWS), :], -ix, 1)
-            p00 = slab[:S, :S]
-            p01 = slab[:S, 1 : S + 1]
-            p10 = slab[1 : S + 1, :S]
-            p11 = slab[1 : S + 1, 1 : S + 1]
+        def align(ix, iy, ixp, iyp):
+            """Corner-align the iteration slab into scratch; the integer
+            corner stops moving after ~2 LK iterations, so the dynamic
+            slice + lane roll run predicated on an actual corner move
+            (predicated STORES are fine on Mosaic; only dynamic sublane
+            pltpu.roll is broken)."""
+
+            @pl.when((ix != ixp) | (iy != iyp))
+            def _():
+                wal[:, :] = pltpu.roll(wscr[pl.ds(iy, ROWS), :], -ix, 1)
+
+        def patch(fx, fy):
+            """(S,S) bilinear patch from the corner-aligned scratch."""
+            p00 = wal[:S, :S]
+            p01 = wal[:S, 1 : S + 1]
+            p10 = wal[1 : S + 1, :S]
+            p11 = wal[1 : S + 1, 1 : S + 1]
             return (
                 p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
                 + p10 * (1 - fx) * fy + p11 * fx * fy
             )
 
         def body(_, carry):
-            u, v = carry
+            u, v, ixp, iyp = carry
             ix, iy, fx, fy = corner_frac(u, v)
-            e = patch(ix, iy, fx, fy) - T
+            align(ix, iy, ixp, iyp)
+            e = patch(fx, fy) - T
             bx = jnp.sum(e * gx)
             by = jnp.sum(e * gy)
             du = (c * bx - b * by) * inv_det
             dv = (a * by - b * bx) * inv_det
-            return (u - du, v - dv)
+            return (u - du, v - dv, ix, iy)
 
-        u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
+        u, v, ixp, iyp = jax.lax.fori_loop(
+            0, iters, body, (u0, v0, jnp.int32(-1000), jnp.int32(-1000))
+        )
 
         # final residual for the quality gate
         ix, iy, fx, fy = corner_frac(u, v)
-        err = jnp.mean(jnp.abs(patch(ix, iy, fx, fy) - T))
+        align(ix, iy, ixp, iyp)
+        err = jnp.mean(jnp.abs(patch(fx, fy) - T))
         out_ref[f, 0, 0] = u
         out_ref[f, 0, 1] = v
         out_ref[f, 0, 2] = err
@@ -194,6 +209,7 @@ def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
         scratch_shapes=[
             pltpu.VMEM((F, WIN_Y, WIN_X), img1.dtype),
             pltpu.VMEM((WIN_Y, 128), img1.dtype),
+            pltpu.VMEM((16, 128), img1.dtype),
             pltpu.SemaphoreType.DMA((F,)),
         ],
         interpret=interpret,
