@@ -114,6 +114,23 @@ def test_bimonovio_window_rolls_with_vio_prior(world):
     assert ate < 0.05, f"VIO-roll ATE {ate:.4f} m"
 
 
+def test_bimonovio_dense_marginalization_rolls(world):
+    """Dense (non-sparsified) prior in the VIO path: the 15K+3P replay
+    factor carries the IMU-state marginal across window rolls."""
+    cfg = dataclasses.replace(
+        small_config("bimonovio"), sparsification=False,
+        max_movement_parallax=0.5, multithreading=True,
+        caps=Capacities(K=4, L=160, P=24, pyr_levels=3, klt_radius=5),
+    )
+    slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
+    est = slam.run(world.frames)
+    assert slam.vi_initialized
+    assert len(slam.archived_kf) >= 1, "window never rolled"
+    assert bool(slam.priors.dn_mask), "dense prior never activated"
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    assert ate < 0.05, f"dense-VIO ATE {ate:.4f} m"
+
+
 def test_bimono_dense_marginalization(world):
     """`sparsification: 0` config path: the exact dense marginal is replayed
     as one linear prior factor instead of the Chow-Liu set
