@@ -43,13 +43,23 @@ class SyntheticWorld(NamedTuple):
     points: np.ndarray  # (N,3) scene points
 
 
-def make_rig(width=320, height=240, baseline=0.11, f=200.0):
+def make_rig(width=320, height=240, baseline=0.11, f=200.0, camera="pinhole"):
     C = 2
-    model = cameras.Pinhole(
-        fx=jnp.full((C,), f), fy=jnp.full((C,), f),
-        cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
-        width=width, height=height,
-    )
+    if camera == "fisheye":
+        # equidistant model with a similar field of view to the pinhole rig
+        model = cameras.Fisheye(
+            fx=jnp.full((C,), 240.0), fy=jnp.full((C,), 240.0),
+            cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
+            k1=jnp.full((C,), 0.02), k2=jnp.full((C,), -0.005),
+            k3=jnp.full((C,), 0.0), k4=jnp.full((C,), 0.0),
+            width=width, height=height,
+        )
+    else:
+        model = cameras.Pinhole(
+            fx=jnp.full((C,), f), fy=jnp.full((C,), f),
+            cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
+            width=width, height=height,
+        )
     R_f_s = jnp.broadcast_to(jnp.eye(3), (C, 3, 3))
     t_f_s = jnp.array([[0.0, 0.0, 0.0], [baseline, 0.0, 0.0]], jnp.float32)
     return Rig(cam=model, R_f_s=R_f_s, t_f_s=t_f_s)
@@ -57,20 +67,30 @@ def make_rig(width=320, height=240, baseline=0.11, f=200.0):
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def render_view(cam_f, cam_c, R_w_f, t_w_f, R_f_s, t_f_s, pts, intens,
-                width: int, height: int):
+                width: int, height: int, model=None):
     """Splat scene points into one camera image: (H,W) float32.
 
     Each point renders as a two-scale Gaussian (sharp core + soft halo):
     the halo keeps signal alive at coarse pyramid levels so pyramidal KLT
     has a wide convergence basin, like real multi-scale image texture.
+
+    model: optional camera-model pytree; when given, splat centers come
+    from model.project (fisheye/double-sphere/omni worlds) instead of the
+    inline pinhole formula.
     """
     R_s_f = R_f_s.T
     p_f = (pts - t_w_f) @ R_w_f  # (N,3) body coords: R^T (p - t)
     p_c = p_f @ R_f_s + (R_s_f @ (-t_f_s))  # sensor coords
     z = p_c[:, 2]
-    u = cam_f * p_c[:, 0] / jnp.maximum(z, 0.1) + cam_c[0]
-    v = cam_f * p_c[:, 1] / jnp.maximum(z, 0.1) + cam_c[1]
-    vis = (z > 0.3) & (u > -12) & (u < width + 12) & (v > -12) & (v < height + 12)
+    if model is not None:
+        uv_m, ok_m = model.project(p_c)
+        u, v = uv_m[:, 0], uv_m[:, 1]
+        vis = ok_m & (z > 0.3) & (u > -12) & (u < width + 12) \
+            & (v > -12) & (v < height + 12)
+    else:
+        u = cam_f * p_c[:, 0] / jnp.maximum(z, 0.1) + cam_c[0]
+        v = cam_f * p_c[:, 1] / jnp.maximum(z, 0.1) + cam_c[1]
+        vis = (z > 0.3) & (u > -12) & (u < width + 12) & (v > -12) & (v < height + 12)
     w = jnp.where(vis, intens, 0.0)
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
@@ -112,7 +132,7 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                noise_px=0.0, imu_noise=True,
                acc_bias=None, gyr_bias=None, rot_scale=1.0,
                gain_jitter=0.0, offset_jitter=0.0,
-               occluder=False) -> SyntheticWorld:
+               occluder=False, camera="pinhole") -> SyntheticWorld:
     """acc_bias/gyr_bias: optional constant (3,) sensor biases added to the
     IMU measurements -- the estimator should recover them (the reference's
     imu_test.cpp biasEstimation pattern).
@@ -126,7 +146,7 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                     foreground object violating photometric constancy)
     """
     rng = np.random.default_rng(seed)
-    rig = make_rig(width, height)
+    rig = make_rig(width, height, camera=camera)
     params = imu_mod.ImuParams.euroc()
     g = np.array([0.0, 0.0, -imu_mod.GRAVITY])
 
@@ -180,11 +200,15 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
         gt_v.append(v_d[i0])
         imgs = []
         for c in range(2):
+            model_c = None
+            if camera != "pinhole":
+                model_c = jax.tree.map(
+                    lambda x, c=c: x[c] if np.ndim(x) > 0 else x, rig.cam)
             img = render_view(
                 float(cam.fx[c]), (float(cam.cx[c]), float(cam.cy[c])),
                 jnp.asarray(R_k, jnp.float32), jnp.asarray(t_k, jnp.float32),
                 rig.R_f_s[c], rig.t_f_s[c], jnp.asarray(pts), jnp.asarray(intens),
-                width, height,
+                width, height, model=model_c,
             )
             imgs.append(np.asarray(img))
         if gain_jitter > 0 or offset_jitter > 0:
