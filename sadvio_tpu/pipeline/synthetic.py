@@ -54,6 +54,22 @@ def make_rig(width=320, height=240, baseline=0.11, f=200.0, camera="pinhole"):
             k3=jnp.full((C,), 0.0), k4=jnp.full((C,), 0.0),
             width=width, height=height,
         )
+    elif camera == "double_sphere":
+        model = cameras.DoubleSphere(
+            fx=jnp.full((C,), 230.0), fy=jnp.full((C,), 230.0),
+            cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
+            alpha=jnp.full((C,), 0.55), xi=jnp.full((C,), -0.2),
+            width=width, height=height,
+        )
+    elif camera == "omni":
+        model = cameras.Omni(
+            fx=jnp.full((C,), 360.0), fy=jnp.full((C,), 360.0),
+            cx=jnp.full((C,), width / 2.0), cy=jnp.full((C,), height / 2.0),
+            xi=jnp.full((C,), 0.8), k1=jnp.full((C,), -0.01),
+            k2=jnp.full((C,), 0.002), p1=jnp.full((C,), 0.0),
+            p2=jnp.full((C,), 0.0),
+            width=width, height=height,
+        )
     else:
         model = cameras.Pinhole(
             fx=jnp.full((C,), f), fy=jnp.full((C,), f),

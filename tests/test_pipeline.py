@@ -82,19 +82,21 @@ def test_bimonovio_recovers_imu_bias():
     assert np.linalg.norm(ba_est - acc_bias) < 0.15, f"accel bias {ba_est}"
 
 
-def test_bimono_fisheye_angular_ba():
-    """Fisheye rig + angular (bearing-vector) BA end-to-end: the
-    AngularAdjustment optimizer path drives the full pipeline, not just a
-    unit solve (optimizer: AngularAnalytic, slamParameters.cpp:263-281)."""
+@pytest.mark.parametrize("camera", ["fisheye", "double_sphere", "omni"])
+def test_bimono_exotic_camera_angular_ba(camera):
+    """Exotic camera rigs + angular (bearing-vector) BA end-to-end: the
+    AngularAdjustment optimizer path drives the full pipeline for every
+    non-pinhole model, not just a unit solve (optimizer: AngularAnalytic,
+    slamParameters.cpp:263-281)."""
     w = synthetic.make_world(seed=13, n_frames=30, width=320, height=240,
-                             n_points=200, imu_noise=False, camera="fisheye")
+                             n_points=200, imu_noise=False, camera=camera)
     cfg = dataclasses.replace(small_config("bimono"), optimizer="angular")
     slam = StereoSLAM(w.rig, cfg)
     assert slam._ba_opts.angular
     est = slam.run(w.frames)
     assert len(slam.kf_traj) >= 3
     ate = synthetic.ate_rmse(est, w.gt_t[: len(est)])
-    assert ate < 0.06, f"fisheye angular-BA ATE {ate:.4f} m"
+    assert ate < 0.06, f"{camera} angular-BA ATE {ate:.4f} m"
 
 
 def test_bimonovio_hardened_world():
