@@ -25,6 +25,11 @@ import json
 import time
 
 import jax
+
+# foreign-machine persistent-cache entries can abort on deserialization
+# (see tests/conftest.py); bench always compiles fresh
+jax.config.update("jax_enable_compilation_cache", False)
+
 import jax.numpy as jnp
 import numpy as np
 
