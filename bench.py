@@ -25,13 +25,11 @@ import json
 import time
 
 import jax
-
-# foreign-machine persistent-cache entries can abort on deserialization
-# (see tests/conftest.py); bench always compiles fresh
-jax.config.update("jax_enable_compilation_cache", False)
-
 import jax.numpy as jnp
 import numpy as np
+
+# the CPU-fingerprinted persistent compilation cache is configured by
+# sadvio_tpu/__init__.py (imported below via __graft_entry__)
 
 BASELINE_MS_PER_ITER = 10.0
 ITERS = 20

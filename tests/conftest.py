@@ -18,12 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# The machine's persistent JAX compilation cache holds entries compiled on a
-# DIFFERENT machine type (the cpu_aot_loader warnings at startup: "could
-# lead to execution errors such as SIGILL"); deserializing one aborts the
-# process mid-suite (observed: Fatal Python error in
-# compilation_cache.get_executable_and_time).  Fresh compiles only.
-jax.config.update("jax_enable_compilation_cache", False)
+# The persistent compilation cache is configured by sadvio_tpu/__init__.py
+# with a CPU-fingerprinted directory: entries compiled by a previous round's
+# DIFFERENT container host abort on deserialization (Fatal Python error in
+# compilation_cache.get_executable_and_time; the cpu_aot_loader
+# machine-feature-mismatch warnings are the tell). A mismatched host starts
+# a fresh cache instead of loading poison.
 
 import numpy as np
 import pytest
