@@ -393,7 +393,10 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
             dn_R=R1, dn_t=t1, dn_v=state.v[1], dn_ba=state.ba[1],
             dn_bg=state.bg[1], dn_lmk=p_keep,
             dn_frame=jnp.ones((), jnp.int32),
-            dn_mask=has_info & (jnp.any(blanket.keep_mask) | imu.mask[0]),
+            # gate on the marginal actually carrying information (kept
+            # eigenvalues exist): the Schur marginal can constrain x1 through
+            # earlier priors alone, with no kept landmarks and no IMU factor
+            dn_mask=has_info,
         )
     elif vio:
         # pose-relative landmark priors (sparsifyVIO:362-408)
@@ -589,6 +592,66 @@ def marginalize_relative(state: WindowState, obs: Observations, rig: Rig,
     cov = Jr @ Sigma_pp @ Jr.T
     inf, _, _, _ = rank_revealing_pinv(cov)
     return dx_meas, _sym(inf), jnp.sum(shared)
+
+
+def gauge_transform_priors(priors: PriorSet, R_align, scale,
+                           anchor=None) -> PriorSet:
+    """Move a PriorSet through the gauge transform p -> anchor + s R (p-anchor).
+
+    Needed whenever the whole map is rotated/rescaled while priors already
+    exist: VIInit alignment after a window roll (the reference
+    rotates/rescales the entire map state it keeps optimizing,
+    AOptimizer.cpp:448-581 tail) and NoFov's continuous scale maintenance.
+    Linearization values move with the gauge and every sqrt-info matrix
+    absorbs the inverse Jacobian of the transform, so all whitened residuals
+    are exactly invariant (position covariance scales as s^2, sqrt-info as
+    1/s; world-frame blocks additionally rotate by R^T).
+
+    Delta transforms under our chart (geo.pose_retract / pose_local):
+      * pose omega rows: invariant under left rotation.
+      * pose nu rows (prior-body frame): scale by s only.
+      * world-frame deltas (v - v0, p - p0, p_a - p_b): map through s R.
+      * frame-local deltas (plp: R^T(p - t) - val): scale by s only.
+    """
+    s = jnp.asarray(scale)
+    dt_ = priors.sp_t.dtype
+    R_A = jnp.asarray(R_align, dt_)
+    if anchor is None:
+        anchor = jnp.zeros((3,), dt_)
+    A = s * R_A
+    world = lambda p: anchor + jnp.einsum("ij,...j->...i", A, p - anchor)
+    vec = lambda p: jnp.einsum("ij,...j->...i", A, p)  # no anchor (diffs, v)
+    # sqrt-info column maps: W' = W S^-1
+    colT_world = R_A.T / s  # world-delta columns
+    inv_s = 1.0 / s
+
+    sp_W = priors.sp_sqrt_info
+    sp_W = sp_W.at[:, :, 3:6].multiply(inv_s)
+    sp_W = sp_W.at[:, :, 6:9].set(
+        jnp.einsum("kab,bc->kac", priors.sp_sqrt_info[:, :, 6:9], colT_world))
+
+    P = priors.P
+    Dd = 15 + 3 * P
+    dn_J = priors.dn_J
+    dn_J = dn_J.at[:, 3:6].multiply(inv_s)
+    dn_J = dn_J.at[:, 6:9].set(
+        priors.dn_J[:, 6:9] @ colT_world)
+    dn_lmk_cols = (priors.dn_J[:, 15:].reshape(Dd, P, 3) @ colT_world)
+    dn_J = dn_J.at[:, 15:].set(dn_lmk_cols.reshape(Dd, 3 * P))
+
+    rotW = lambda W: jnp.einsum("pab,bc->pac", W, colT_world)
+    return priors.replace(
+        sp_R=jnp.einsum("ij,kjl->kil", R_A, priors.sp_R),
+        sp_t=world(priors.sp_t), sp_v=vec(priors.sp_v),
+        sp_sqrt_info=sp_W,
+        lp_val=world(priors.lp_val), lp_sqrt_info=rotW(priors.lp_sqrt_info),
+        plp_val=s * priors.plp_val,
+        plp_sqrt_info=priors.plp_sqrt_info * inv_s,
+        ll_val=vec(priors.ll_val), ll_sqrt_info=rotW(priors.ll_sqrt_info),
+        dn_J=dn_J,
+        dn_R=R_A @ priors.dn_R, dn_t=world(priors.dn_t),
+        dn_v=vec(priors.dn_v), dn_lmk=world(priors.dn_lmk),
+    )
 
 
 def shift_priors(priors: PriorSet) -> PriorSet:

@@ -234,14 +234,13 @@ class NoFovSLAM(MonoSLAM):
         )
         self.t_cur = t0 + (self.t_cur - t0) * s
         self.dT = (self.dT[0], self.dT[1] * s)
-        pr = self.priors
-        self.priors = pr.replace(
-            sp_t=t0 + (pr.sp_t - t0) * s, sp_v=pr.sp_v * s,
-            lp_val=t0 + (pr.lp_val - t0) * s,
-            plp_val=pr.plp_val * s, ll_val=pr.ll_val * s,
-            dn_t=t0 + (pr.dn_t - t0) * s,
-            dn_lmk=t0 + (pr.dn_lmk - t0) * s, dn_v=pr.dn_v * s,
-        )
+        # full gauge transform (values AND sqrt-infos: position covariance
+        # scales as s^2, sqrt-info as 1/s) so repeated damped corrections do
+        # not accumulate a prior miscalibration
+        from sadvio_tpu.backend import marginalization as marg
+
+        self.priors = marg.gauge_transform_priors(
+            self.priors, jnp.eye(3), s, anchor=t0)
 
     def _apply_scale_global(self, s):
         """Bootstrap: move the whole map AND the recorded history to metric

@@ -1006,6 +1006,12 @@ class StereoSLAM:
         s = res["scale"]
         self.R_cur = R_align @ self.R_cur
         self.t_cur = s * (R_align @ self.t_cur)
+        if self._have_priors:
+            # VIInit converged only after the window rolled (weak excitation
+            # retries): the marginalization priors were created in the
+            # pre-alignment gauge and must move with the map, or the first
+            # VI window BA is pulled back toward the old gauge
+            self.priors = marg.gauge_transform_priors(self.priors, R_align, s)
         self.vi_initialized = True
         # full VI window BA at the aligned, metric state
         self.window, self.obs, _ = self._backend(

@@ -7,10 +7,19 @@ must see both shards.  Marked slow (spawns subprocesses, ~30 s).
 """
 
 import os
+import socket
 import subprocess
 import sys
 
 import pytest
+
+
+def _free_port() -> str:
+    """OS-assigned free TCP port for the jax.distributed coordinator (a
+    hard-coded port collides with lingering workers from aborted runs)."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
 
 WORKER = r"""
 import os, sys
@@ -84,7 +93,7 @@ print(f"proc {pid} BA OK {cost_sh:.6f} vs {cost_ref:.6f}", flush=True)
 def test_two_process_distributed_ba(tmp_path):
     """The landmark-sharded window BA runs across a REAL 2-process mesh and
     matches the single-device solve (the multi-host claim, measured)."""
-    port = "52437"
+    port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -108,7 +117,7 @@ def test_two_process_distributed_ba(tmp_path):
 
 @pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
-    port = "52431"
+    port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = []

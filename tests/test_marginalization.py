@@ -230,6 +230,39 @@ def test_shift_priors():
     assert (np.asarray(shifted.plp_frame) == 0).all()
 
 
+@pytest.mark.parametrize("mode", ["vio", "vo", "dense"])
+def test_gauge_transform_priors_invariance(rng, mode):
+    """Rotating/rescaling the map AND its priors through
+    gauge_transform_priors leaves every whitened prior residual invariant
+    (the VIInit-after-roll / NoFov continuous-scale gauge move)."""
+    gt, obs, rig = make_world(rng)
+    opts = ba.BAOptions()
+    priors, _ = marg.marginalize(
+        gt, obs, rig, ImuChain.create(K), PriorSet.create(K, P), opts,
+        vio=(mode == "vio"), sparsify=(mode != "dense"),
+    )
+    state = perturb_state(rng, gt, skip_first=False)
+    state = state.replace(
+        v=jnp.asarray(rng.standard_normal((K, 3)) * 0.2, jnp.float32))
+    imu0 = ImuChain.create(K)  # IMU factors are metric -- excluded here
+    r1 = ba._dense_residuals(state, imu0, priors, opts)
+
+    R_A = geo.so3_exp(jnp.asarray([0.2, -0.3, 0.5], jnp.float32))
+    s = jnp.float32(1.7)
+    anchor = jnp.asarray([0.4, -0.2, 1.0], jnp.float32)
+    world = lambda p: anchor + s * jnp.einsum("ij,...j->...i", R_A, p - anchor)
+    state2 = state.replace(
+        R=jnp.einsum("ij,kjl->kil", R_A, state.R),
+        t=world(state.t), lmk=world(state.lmk),
+        v=s * jnp.einsum("ij,kj->ki", R_A, state.v),
+    )
+    priors2 = marg.gauge_transform_priors(priors, R_A, s, anchor=anchor)
+    r2 = ba._dense_residuals(state2, imu0, priors2, opts)
+    scale = max(float(jnp.max(jnp.abs(r1))), 1.0)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               atol=2e-3 * scale, rtol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # marginalizeRelative (NFR pose-graph edge) + Motion2D factor
 # ---------------------------------------------------------------------------
