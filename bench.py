@@ -140,7 +140,32 @@ def bench_mesh(world, slam):
             height=int(H), width=int(W), max_depth=12.0)
         return pts
 
-    def chain(n):
+    def one_zncc(img):
+        return mesh_mod.zncc_validate(
+            img, img1, lmk, tri, tmask, cam0, cam1, R_kf, t_kf,
+            slam.rig.R_f_s[0], slam.rig.t_f_s[0],
+            slam.rig.R_f_s[1], slam.rig.t_f_s[1])
+
+    def one_ray(pts_lmk):
+        pts, pmask = mesh_mod.raycast_pointcloud(
+            pts_lmk, tri, tmask, cam0, R_kf, t_kf,
+            slam.rig.R_f_s[0], slam.rig.t_f_s[0],
+            height=int(H), width=int(W), max_depth=12.0)
+        return pts
+
+    def slope(chain_fn, n_a, n_b):
+        def timed(n):
+            t0 = time.perf_counter()
+            s = float(np.asarray(chain_fn(n)).sum())
+            return time.perf_counter() - t0
+
+        float(np.asarray(chain_fn(1)).sum())  # compile + warm
+        dt_a = min(timed(n_a) for _ in range(REPS))
+        dt_b = min(timed(n_b) for _ in range(REPS))
+        assert dt_b > dt_a
+        return (dt_b - dt_a) * 1000.0 / (n_b - n_a)
+
+    def chain_total(n):
         img = img0
         out = None
         for _ in range(n):
@@ -148,16 +173,73 @@ def bench_mesh(world, slam):
             img = img0 + 1e-12 * out.sum()  # dependency link
         return out
 
+    def chain_zncc(n):
+        img = img0
+        out = None
+        for _ in range(n):
+            out = one_zncc(img)
+            img = img0 + 1e-12 * out.sum()
+        return out
+
+    def chain_ray(n):
+        pl = lmk
+        out = None
+        for _ in range(n):
+            out = one_ray(pl)
+            pl = lmk + 1e-12 * out.sum()
+        return out
+
+    # attributable breakdown: each submetric maps to ONE probe (zncc,
+    # raycast) plus the combined per-KF chain they ride in production
+    total = slope(chain_total, 2, 6)
+    zncc = slope(chain_zncc, 2, 6)
+    ray = slope(chain_ray, 2, 6)
+    return total, zncc, ray
+
+
+def bench_frame_device(world, slam):
+    """Dependency-chained DEVICE compute of the frame-rate path
+    (pyramids + the fused track/predict/filter/ESKF kernel) -- the number
+    that excludes tunnel RPCs, host logic and prefetch contention, so
+    e2e_wall - this = transport/host overhead, attributable."""
+    import jax.numpy as jnp
+
+    f = world.frames[16]
+    img_dev = slam._upload_images(
+        f._replace(images=np.clip(f.images, 0, 255).astype(np.uint8)))
+    key = slam._next_key()
+    eskf_on = jnp.asarray(True)
+    pre_cov = slam.pre_cur.cov
+    v_pred = slam.v_cur
+
+    def link(tracks, img):
+        pyr = slam._pyramids(img)
+        tracks, _, _, health = slam._frontend(
+            slam.kf_pyr, pyr, tracks, slam.window, slam.R_cur, slam.t_cur,
+            key, kf_tmpl=slam.kf_tmpl, eskf_on=eskf_on, pre_cov=pre_cov,
+            v_pred=v_pred)
+        return tracks, health
+
+    def chain(n):
+        tracks = slam.tracks
+        health = None
+        img = img_dev
+        for _ in range(n):
+            tracks, health = link(tracks, img)
+            img = img_dev + (health[0] * 0).astype(img_dev.dtype)
+        return health
+
     def timed(n):
         t0 = time.perf_counter()
         s = float(np.asarray(chain(n)).sum())
+        assert np.isfinite(s)
         return time.perf_counter() - t0
 
     float(np.asarray(chain(1)).sum())
     dt_a = min(timed(2) for _ in range(REPS))
-    dt_b = min(timed(6) for _ in range(REPS))
+    dt_b = min(timed(8) for _ in range(REPS))
     assert dt_b > dt_a
-    return (dt_b - dt_a) * 1000.0 / 4
+    return (dt_b - dt_a) * 1000.0 / 6
 
 
 def bench_e2e():
@@ -202,11 +284,19 @@ def main():
         sub["e2e_error"] = str(e)[:120]
     if slam is not None:
         try:
+            sub["e2e_device_ms_per_frame"] = round(
+                bench_frame_device(world, slam), 3)
+        except Exception as e:  # pragma: no cover
+            sub["e2e_device_error"] = str(e)[:120]
+        try:
             sub["klt_ms_l512"] = round(bench_klt(world, slam), 3)
         except Exception as e:  # pragma: no cover
             sub["klt_error"] = str(e)[:120]
         try:
-            sub["mesh_kf_ms"] = round(bench_mesh(world, slam), 3)
+            mesh_total, zncc_ms, ray_ms = bench_mesh(world, slam)
+            sub["mesh_kf_ms"] = round(mesh_total, 3)
+            sub["zncc_ms"] = round(zncc_ms, 3)
+            sub["raycast_ms"] = round(ray_ms, 3)
         except Exception as e:  # pragma: no cover
             sub["mesh_error"] = str(e)[:120]
 

@@ -62,6 +62,13 @@ class BAOptions:
     # rule: the reference's numeric-diff fallback optimizer
     # (BundleAdjustmentCERESNumeric).  Correctness baseline, not a hot path.
     numeric: bool = struct.field(pytree_node=False, default=False)
+    # line (linexd) residual weighting: Hough+TLS line detections carry more
+    # noise than corner detections (texture interference shifts the TLS
+    # centroid), so line rows are whitened at sigma_line and the along-line
+    # endpoint-matching terms (clipped by occlusion/detection extent) are
+    # strongly down-weighted
+    sigma_line: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    w_along: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.3))
 
 
 class BAProblem(NamedTuple):
@@ -72,6 +79,11 @@ class BAProblem(NamedTuple):
     priors: PriorSet
     fixed_mask: jnp.ndarray  # (K,) bool: pose frozen (gauge)
     opt_lmk_only: jnp.ndarray  # () bool: freeze all KF states (landmarkOptimization)
+    # optional line landmarks (data.window.LineBlock): 6-dof blocks appended
+    # to the dense system so linexd observations constrain poses, matching
+    # the reference's localMapBA linexd residuals
+    # (BundleAdjustmentCERESAnalytic.h:104-195 / .cpp:273-302)
+    lines: object = None
 
 
 def make_problem(state, obs, rig, imu=None, priors=None, fixed_mask=None, lmk_only=False):
@@ -141,6 +153,58 @@ def _reproj_terms(state: WindowState, obs: Observations, rig: Rig, opts: BAOptio
 
 
 # ---------------------------------------------------------------------------
+# line reprojection rows (linexd in the window BA)
+# ---------------------------------------------------------------------------
+
+
+def _line_residual_rows(Rk, tk, kf_mask, ends, lines, rig: Rig, opts: BAOptions):
+    """Whitened, IRLS-Huber-weighted 4-dim line reprojection rows, flat.
+
+    The reference's localMapBA adds linexd residuals <4,6,6> over
+    (pose, line) (BundleAdjustmentCERESAnalytic.h:104-195, .cpp:273-302);
+    here the same cost enters the dense system via one jacfwd sweep: each
+    line is a 6-dof landmark block (two world endpoints), residual =
+    perpendicular distances of both projected endpoints to the observed
+    infinite line + down-weighted along-line endpoint matching
+    (frontend.lines.line_reproj_residual).  Robustified IRLS-style: the
+    Huber weight is computed from the perpendicular error norm at the
+    evaluation point and frozen (stop_gradient) so it does not leak into
+    the Jacobian.
+    """
+    from sadvio_tpu.frontend import lines as lines_mod
+
+    def per_cam(cam_c, Rfs_c, tfs_c, obs_c, om_c):
+        # broadcast: poses (K,1,...) x lines (1,M,...).  Probation lines
+        # (2 obs rows: a mis-paired stereo birth is self-consistent, only a
+        # 3rd view can refute it) see stop_gradient poses: their residuals
+        # refine the LINE but contribute zero pose Jacobian.
+        prob4 = lines.probation[None, :, None, None]  # (1,M,1,1)
+        prob3 = lines.probation[None, :, None]  # (1,M,1)
+        Rb = jnp.where(prob4, jax.lax.stop_gradient(Rk[:, None]), Rk[:, None])
+        tb = jnp.where(prob3, jax.lax.stop_gradient(tk[:, None]), tk[:, None])
+        p0 = ends[None, :, 0]
+        p1 = ends[None, :, 1]
+        r, vis = lines_mod.line_reproj_residual(
+            cam_c, Rb, tb, Rfs_c, tfs_c, p0, p1, obs_c,
+            sigma_px=opts.sigma_line, w_along=opts.w_along,
+        )  # (K,M,4)
+        m = om_c & vis & lines.mask[None, :] & kf_mask[:, None]
+        rn = jnp.linalg.norm(jax.lax.stop_gradient(r[..., :2]), axis=-1)
+        # redescending (Cauchy) weight instead of Huber: a wrong line
+        # re-association produces a large, CONSISTENT residual that Huber
+        # still weights linearly -- enough to drag poses on line-dominant
+        # problems.  Cauchy drives its influence to zero.
+        w = jnp.sqrt(1.0 / (1.0 + (rn / (2.0 * opts.huber)) ** 2))
+        return jnp.where(m[..., None], r * w[..., None], 0.0)
+
+    cam_axes = jax.tree.map(lambda _: 0, rig.cam)
+    rows = jax.vmap(per_cam, in_axes=(cam_axes, 0, 0, 1, 1), out_axes=1)(
+        rig.cam, rig.R_f_s, rig.t_f_s, lines.obs, lines.obs_mask
+    )  # (K,C,M,4)
+    return rows.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # dense-factor residuals (IMU, bias, priors, chains) -- autodiff linearized
 # ---------------------------------------------------------------------------
 
@@ -153,7 +217,7 @@ def _apply_dense_delta(state: WindowState, priors: PriorSet, dxd):
     v = state.v + dk[:, 6:9]
     ba = state.ba + dk[:, 9:12]
     bg = state.bg + dk[:, 12:15]
-    dl = dxd[K * D :].reshape(-1, 3)
+    dl = dxd[K * D : K * D + priors.P * 3].reshape(-1, 3)
     upd = jnp.where(priors.prior_slot_mask[:, None], dl, 0.0)
     idx = jnp.where(priors.prior_slot_mask, priors.prior_slots, state.L)
     lmk = jnp.concatenate([state.lmk, jnp.zeros((1, 3), state.lmk.dtype)])
@@ -280,7 +344,11 @@ def _linearize(problem: BAProblem, opts: BAOptions) -> _Lin:
     )
     K, C, L = obs.mask.shape
     P = priors.P
-    Dd = K * D + P * 3
+    lines = problem.lines
+    M = 0 if lines is None else lines.M
+    Dd = K * D + P * 3 + M * 6
+    off_p = K * D  # retained-landmark block offset
+    off_l = K * D + P * 3  # line block offset
     dt_ = state.lmk.dtype
 
     r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
@@ -320,9 +388,16 @@ def _linearize(problem: BAProblem, opts: BAOptions) -> _Lin:
         vk = state.v + dk[:, 6:9]
         bak = state.ba + dk[:, 9:12]
         bgk = state.bg + dk[:, 12:15]
-        dl = dxd[K * D :].reshape(P, 3)
+        dl = dxd[off_p:off_l].reshape(P, 3)
         pl = pl0 + jnp.where(priors.prior_slot_mask[:, None], dl, 0.0)
-        return _dense_residuals_pl(Rk, tk, vk, bak, bgk, pl, imu, priors, opts)
+        r_small = _dense_residuals_pl(Rk, tk, vk, bak, bgk, pl, imu, priors, opts)
+        if lines is None:
+            return r_small
+        de = dxd[off_l:].reshape(M, 2, 3)
+        ends = lines.ends + jnp.where(lines.mask[:, None, None], de, 0.0)
+        r_line = _line_residual_rows(
+            Rk, tk, state.kf_mask, ends, lines, rig, opts)
+        return jnp.concatenate([r_small, r_line])
 
     dx0 = jnp.zeros((Dd,), dt_)
     r_dense = rfun(dx0)
@@ -340,16 +415,16 @@ def _linearize(problem: BAProblem, opts: BAOptions) -> _Lin:
         jnp.concatenate([bp, jnp.zeros((K, D - 6), dt_)], axis=1).reshape(-1)
     )
 
-    Hd = H[K * D :, K * D :].reshape(P, 3, P, 3)
+    Hd = H[off_p:off_l, off_p:off_l].reshape(P, 3, P, 3)
     Hd = Hd + Hll_ret[:, :, None, :] * jnp.eye(P, dtype=dt_)[:, None, :, None]
-    H = H.at[K * D :, K * D :].set(Hd.reshape(P * 3, P * 3))
-    b = b.at[K * D :].add(bl_ret.reshape(-1))
+    H = H.at[off_p:off_l, off_p:off_l].set(Hd.reshape(P * 3, P * 3))
+    b = b.at[off_p:off_l].add(bl_ret.reshape(-1))
 
-    Hc = H[: K * D, K * D :].reshape(K, D, P, 3)
+    Hc = H[: K * D, off_p:off_l].reshape(K, D, P, 3)
     Hc = Hc.at[:, :6].add(jnp.swapaxes(Hx, 1, 2))  # (K,P,6,3) -> (K,6,P,3)
     Hc2 = Hc.reshape(K * D, P * 3)
-    H = H.at[: K * D, K * D :].set(Hc2)
-    H = H.at[K * D :, : K * D].set(Hc2.T)
+    H = H.at[: K * D, off_p:off_l].set(Hc2)
+    H = H.at[off_p:off_l, : K * D].set(Hc2.T)
 
     # true-Huber robust cost at this linearization point
     rn = jnp.linalg.norm(r, axis=-1)
@@ -364,7 +439,7 @@ def _solve_from_lin(lin: _Lin, problem: BAProblem, opts: BAOptions, free, lam):
     """Damp + Schur-eliminate + Cholesky-solve the cached normal equations."""
     state, priors = problem.state, problem.priors
     K, L, P = state.K, state.L, priors.P
-    Dd = K * D + P * 3
+    Dd = lin.H.shape[0]  # K*D + P*3 (+ M*6 line dims when lines are present)
     dt_ = state.lmk.dtype
 
     slot = slot_of_lmk(priors, L)
@@ -427,7 +502,13 @@ def _free_mask(problem: BAProblem):
     )
     m_k = m_k * jnp.where(problem.opt_lmk_only, 0.0, 1.0)
     m_p = jnp.repeat(problem.priors.prior_slot_mask.astype(jnp.float32)[:, None], 3, 1)
-    return jnp.concatenate([m_k.reshape(-1), m_p.reshape(-1)])
+    parts = [m_k.reshape(-1), m_p.reshape(-1)]
+    if problem.lines is not None:
+        # line landmark blocks stay free under opt_lmk_only (they ARE
+        # landmarks: landmarkOptimization refines them at fixed poses)
+        m_l = jnp.repeat(problem.lines.mask.astype(jnp.float32)[:, None], 6, 1)
+        parts.append(m_l.reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def robust_cost(problem: BAProblem, opts: BAOptions):
@@ -439,37 +520,62 @@ def robust_cost(problem: BAProblem, opts: BAOptions):
     rho = jnp.where(rn <= d, rn * rn, 2.0 * d * rn - d * d)
     c_reproj = jnp.sum(m * rho)
     rd = _dense_residuals(state, problem.imu, problem.priors, opts)
-    return c_reproj + jnp.sum(rd * rd)
+    cost = c_reproj + jnp.sum(rd * rd)
+    if problem.lines is not None:
+        rl = _line_residual_rows(
+            state.R, state.t, state.kf_mask, problem.lines.ends,
+            problem.lines, problem.rig, opts)
+        cost = cost + jnp.sum(rl * rl)
+    return cost
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
 def _ba_solve_impl(problem: BAProblem, opts: BAOptions, n_iters: int):
     free = _free_mask(problem)
+    has_lines = problem.lines is not None
+    off_l = problem.state.K * D + problem.priors.P * 3
+
+    def with_lines(state, ends):
+        prob = problem._replace(state=state)
+        if has_lines:
+            prob = prob._replace(lines=prob.lines.replace(ends=ends))
+        return prob
 
     def iteration(carry, _):
-        state, lin, lam, cost = carry
-        dxd, dl, ok = _solve_from_lin(lin, problem._replace(state=state), opts, free, lam)
+        state, ends, lin, lam, cost = carry
+        dxd, dl, ok = _solve_from_lin(lin, with_lines(state, ends), opts, free, lam)
         trial = _apply_dense_delta(state, problem.priors, dxd)
         trial = trial.replace(lmk=trial.lmk + dl)
+        ends_t = ends
+        if has_lines:
+            de = dxd[off_l:].reshape(ends.shape)
+            ends_t = ends + jnp.where(problem.lines.mask[:, None, None], de, 0.0)
         # ONE linearization per iteration: it yields the acceptance cost now
         # and, if accepted, the next iteration's normal equations.
-        lin_t = _linearize(problem._replace(state=trial), opts)
+        lin_t = _linearize(with_lines(trial, ends_t), opts)
         new_cost = lin_t.cost
         accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
         state = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), trial, state)
+        ends = jnp.where(accept, ends_t, ends)
         lin = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), lin_t, lin)
         lam = jnp.clip(
             jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up), 1e-9, 1e6
         )
         cost = jnp.where(accept, new_cost, cost)
-        return (state, lin, lam, cost), (cost, accept)
+        return (state, ends, lin, lam, cost), (cost, accept)
 
     lin0 = _linearize(problem, opts)
     cost0 = lin0.cost
-    (state, lin, lam, cost), (costs, accepts) = jax.lax.scan(
-        iteration, (problem.state, lin0, opts.lam_init, cost0), None, length=n_iters
+    ends0 = (problem.lines.ends if has_lines
+             else jnp.zeros((0, 2, 3), problem.state.lmk.dtype))
+    (state, ends, lin, lam, cost), (costs, accepts) = jax.lax.scan(
+        iteration, (problem.state, ends0, lin0, opts.lam_init, cost0),
+        None, length=n_iters,
     )
-    return state, {"cost0": cost0, "cost": cost, "costs": costs, "accepted": accepts}
+    stats = {"cost0": cost0, "cost": cost, "costs": costs, "accepted": accepts}
+    if has_lines:
+        stats["line_ends"] = ends
+    return state, stats
 
 
 def ba_solve(problem: BAProblem, opts: BAOptions):
@@ -478,5 +584,9 @@ def ba_solve(problem: BAProblem, opts: BAOptions):
     One compiled kernel per (K,C,L,P,iters) signature -- reused across all
     keyframes of a run (fixed shapes), unlike the reference which re-builds a
     Ceres problem per call (AOptimizer.cpp:299-350).
+
+    With problem.lines set (data.window.LineBlock), line landmarks enter the
+    cost as pose-constraining 6-dof blocks and stats["line_ends"] carries the
+    optimized endpoints for the caller to write back.
     """
     return _ba_solve_impl(problem, opts, opts.iters)

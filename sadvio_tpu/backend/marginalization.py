@@ -111,6 +111,7 @@ class Blanket(NamedTuple):
     drop_mask: jnp.ndarray  # (P,) bool
     lonely: jnp.ndarray  # (L,) bool lonely landmarks (3x3-eliminable)
     marg_lmk: jnp.ndarray  # (L,) bool all landmarks leaving the map
+    n_overflow: jnp.ndarray  # () int32 keep-set landmarks beyond the P slots
 
 
 def _top_p_indices(mask, P):
@@ -144,7 +145,8 @@ def partition_blanket(state: WindowState, obs: Observations, priors: PriorSet, P
 
     keep_idx, keep_valid = _top_p_indices(keep, P)
     # overflow keep landmarks (beyond P) are treated as lonely: they lose the
-    # prior correlation but stay in the map (conservative, logged by caller)
+    # prior correlation but stay in the map (conservative; count surfaced to
+    # the caller so a busy scene's silent prior degradation is observable)
     overflow = keep & ~(
         jnp.zeros((L,), bool).at[jnp.where(keep_valid, keep_idx, L)].set(
             keep_valid, mode="drop"
@@ -152,7 +154,9 @@ def partition_blanket(state: WindowState, obs: Observations, priors: PriorSet, P
     )
     drop_idx, drop_valid = _top_p_indices(drop, P)
     marg_lmk = lonely | drop
-    return Blanket(keep_idx, keep_valid, drop_idx, drop_valid, lonely | overflow, marg_lmk)
+    return Blanket(keep_idx, keep_valid, drop_idx, drop_valid,
+                   lonely | overflow, marg_lmk,
+                   jnp.sum(overflow).astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +505,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         "lonely": blanket.lonely,
         "keep_idx": blanket.keep_idx,
         "keep_mask": blanket.keep_mask,
+        "n_keep_overflow": blanket.n_overflow,
         "Ak": Ak,
     }
     return new, info

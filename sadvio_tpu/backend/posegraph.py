@@ -23,6 +23,23 @@ from sadvio_tpu.backend import factors as F
 from sadvio_tpu.utils import geometry as geo
 
 
+def inflate_edge_info(inf, P_a, P_b, eps=1e-12):
+    """Weight an NFR edge by its endpoints' frame-rate pose covariance.
+
+    The reference propagates the ESKF posterior `_dT_cov` into the frame
+    covariance chain (ESKFEstimator.cpp:178, localmap.cpp:93-135); here the
+    same signal reaches the pose graph: edge covariance = NFR covariance +
+    P_a + P_b on the shared [omega, nu] chart, so a high-uncertainty
+    keyframe yields a weaker edge.  numpy (host, per-KF-rate)."""
+    import numpy as np
+
+    inf = np.asarray(inf, np.float64)
+    cov = np.linalg.pinv(0.5 * (inf + inf.T))
+    cov = cov + np.asarray(P_a, np.float64) + np.asarray(P_b, np.float64)
+    out = np.linalg.pinv(0.5 * (cov + cov.T) + eps * np.eye(6))
+    return (0.5 * (out + out.T)).astype(np.float64)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def optimize_pose_graph(R, t, node_mask, ea, eb, dx, sqrt_inf, edge_mask,
                         iters: int = 10, damping: float = 1e-6):

@@ -83,6 +83,45 @@ class Observations:
 
 
 @struct.dataclass
+class LineBlock:
+    """Line landmarks + their per-keyframe segment observations for the
+    window BA.
+
+    The reference adds 4-dim linexd reprojection residuals over
+    (pose, line endpoints) to localMapBA
+    (BundleAdjustmentCERESAnalytic.h:104-195, used at .cpp:273-302), so line
+    observations constrain *poses*.  Here each line is a 6-dof landmark
+    block (two world endpoints) appended to the BA dense system; obs rows
+    are aligned to window KF slots and roll with the window.
+    """
+
+    ends: jnp.ndarray  # (M,2,3) world endpoints
+    mask: jnp.ndarray  # (M,) bool live line landmarks
+    obs: jnp.ndarray  # (K,C,M,2,2) observed 2D segment endpoints (px)
+    obs_mask: jnp.ndarray  # (K,C,M) bool
+    # probation: freshly promoted lines (2 observation rows) refine their own
+    # geometry in the BA but do NOT constrain poses until a 3rd view confirms
+    # them (pose Jacobians cut via stop_gradient) -- a mis-paired stereo
+    # birth is self-consistent by construction, so consistency can only be
+    # tested against additional views
+    probation: jnp.ndarray  # (M,) bool
+
+    @classmethod
+    def create(cls, K: int, C: int, M: int, dtype=jnp.float32):
+        return cls(
+            ends=jnp.zeros((M, 2, 3), dtype),
+            mask=jnp.zeros((M,), bool),
+            obs=jnp.zeros((K, C, M, 2, 2), dtype),
+            obs_mask=jnp.zeros((K, C, M), bool),
+            probation=jnp.zeros((M,), bool),
+        )
+
+    @property
+    def M(self):
+        return self.ends.shape[0]
+
+
+@struct.dataclass
 class Rig:
     """Multi-camera rig: per-camera model parameters + extrinsics T_f_s.
 

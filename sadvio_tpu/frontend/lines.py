@@ -134,10 +134,62 @@ def detect_lines(img, *, n_lines: int = 32, grad_tsh: float = 12.0,
     e0 = mu + d_dir * s_min[:, None]
     e1 = mu + d_dir * s_max[:, None]
     length = s_max - s_min
-    valid = (strength > 0) & (sup >= min_support) & jnp.isfinite(length) & (
-        length > min_len
-    )
-    endpoints = jnp.stack([e0, e1], axis=1)  # (K,2,2)
+
+    # continuity trim (the TPU stand-in for ELSED's connected edge-drawing
+    # chains): a real line/ridge has gradient support CONTINUOUSLY along its
+    # length, while Hough support can (a) over-extend a segment along its
+    # infinite line through unrelated texture and (b) hallucinate "lines"
+    # from collinear blob/texture alignments with gaps between supporters.
+    # Sample |grad| at +-1.5 px on both sides of the centerline (a ridge top
+    # itself has zero gradient) at T stations and keep only the LONGEST
+    # contiguous supported run; phantoms collapse below min_len.
+    T = 48
+    tt = jnp.linspace(0.0, 1.0, T, dtype=img.dtype)
+    n_hat = jnp.stack([-d_dir[:, 1], d_dir[:, 0]], -1)  # (K,2)
+    seg = e0[:, None, :] + (e1 - e0)[:, None, :] * tt[None, :, None]  # (K,T,2)
+
+    def sample_mag(pxy):
+        x = jnp.clip(pxy[..., 0], 0.0, W - 1.001)
+        y = jnp.clip(pxy[..., 1], 0.0, H - 1.001)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        m00 = mag[y0, x0]
+        m01 = mag[y0, x0 + 1]
+        m10 = mag[y0 + 1, x0]
+        m11 = mag[y0 + 1, x0 + 1]
+        return ((1 - fy) * ((1 - fx) * m00 + fx * m01)
+                + fy * ((1 - fx) * m10 + fx * m11))
+
+    gm = jnp.maximum(
+        sample_mag(seg + 1.5 * n_hat[:, None, :]),
+        sample_mag(seg - 1.5 * n_hat[:, None, :]),
+    )  # (K,T)
+    ok_t = gm > 0.75 * grad_tsh
+    # longest contiguous run per line: run-length cumsum resetting at gaps
+    run = jnp.zeros((ok_t.shape[0],), img.dtype)
+    runs = []
+    for t_i in range(T):
+        run = (run + 1.0) * ok_t[:, t_i].astype(img.dtype)
+        runs.append(run)
+    runs = jnp.stack(runs, axis=1)  # (K,T) run length ending at t
+    t_end = jnp.argmax(runs, axis=1)
+    r_len = jnp.max(runs, axis=1)
+    t_start = t_end.astype(img.dtype) - (r_len - 1.0)
+    # half-station margin on both sides (support is sampled, not exhaustive)
+    step = 1.0 / (T - 1)
+    f0 = jnp.clip((t_start - 0.5) * step, 0.0, 1.0)
+    f1 = jnp.clip((t_end.astype(img.dtype) + 0.5) * step, 0.0, 1.0)
+    d_e = e1 - e0
+    e0t = e0 + d_e * f0[:, None]
+    e1t = e0 + d_e * f1[:, None]
+    length_t = length * (f1 - f0)
+
+    valid = (strength > 0) & (sup >= min_support) & jnp.isfinite(length_t) & (
+        length_t > min_len
+    ) & (r_len >= 3)
+    endpoints = jnp.stack([e0t, e1t], axis=1)  # (K,2,2)
     return endpoints, strength, valid
 
 
@@ -209,6 +261,37 @@ def dedup_lines(ends, valid, strength, *, max_angle_deg=4.0, max_perp_px=4.0):
     return valid & ~killed
 
 
+def clip_segment_to_image(a, b, width, height):
+    """Liang-Barsky clip of 2D segments a->b to [0,width-1]x[0,height-1].
+
+    Returns (a_c, b_c, ok): clipped endpoints and whether any part of the
+    segment lies inside the image.  Needed for map-line association: a line
+    landmark whose projected endpoints leave the FOV is still partially
+    visible, and matching against its clipped extent prevents duplicate
+    re-spawns (the reference matches against the projected Line2D whose
+    extent openCV clips implicitly when drawing/searching).
+    """
+    d = b - a
+    t0 = jnp.zeros(a.shape[:-1], a.dtype)
+    t1 = jnp.ones(a.shape[:-1], a.dtype)
+    for i, hi_v in ((0, width - 1.0), (1, height - 1.0)):
+        di = d[..., i]
+        ai = a[..., i]
+        safe = jnp.where(jnp.abs(di) < 1e-9, 1e-9, di)
+        t_lo = (0.0 - ai) / safe
+        t_hi = (hi_v - ai) / safe
+        tmin = jnp.minimum(t_lo, t_hi)
+        tmax = jnp.maximum(t_lo, t_hi)
+        inside = (ai >= 0.0) & (ai <= hi_v)
+        par = jnp.abs(di) < 1e-9
+        tmin = jnp.where(par, jnp.where(inside, 0.0, 1.0), tmin)
+        tmax = jnp.where(par, jnp.where(inside, 1.0, 0.0), tmax)
+        t0 = jnp.maximum(t0, tmin)
+        t1 = jnp.minimum(t1, tmax)
+    ok = t1 > t0
+    return a + t0[..., None] * d, a + t1[..., None] * d, ok
+
+
 def triangulate_line(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
                      ends_a, ends_b):
     """3D line segment from two views (plane-intersection, batched).
@@ -230,10 +313,21 @@ def triangulate_line(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
     num = jnp.einsum("...i,...i->...", t_ws_a - t_ws_b, n_plane)[..., None]
     s = num / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
     pts = t_ws_b[..., None, :] + rb_w * s[..., None]
+    # epipolar-degeneracy conditioning: when the baseline lies (nearly) in
+    # view a's interpretation plane -- a 3D line parallel to the epipolar
+    # plane -- the intersection depth is unobservable and blows up along the
+    # rays.  |b_hat . n_hat| = sin(baseline-out-of-plane angle); require a
+    # usable angle (same geometry limit as the reference's
+    # Line3DlandmarkInitializer, which such pairs silently corrupt).
+    base = t_ws_a - t_ws_b
+    b_norm = jnp.linalg.norm(base, axis=-1)
+    b_hat = base / jnp.maximum(b_norm[..., None], 1e-9)
+    cond = jnp.abs(jnp.einsum("...i,...i->...", b_hat, n_plane))
     ok = (
         (jnp.abs(denom) > 1e-4).all(axis=-1)
         & (s > 0.05).all(axis=-1)
         & (nn[..., 0] > 1e-6)
+        & (cond > 0.2)
     )
     return pts[..., 0, :], pts[..., 1, :], ok
 

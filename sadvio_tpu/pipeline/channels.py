@@ -5,10 +5,14 @@ The reference instantiates a detector/matcher/initializer per entry of the
 flow (reference: cpp/src/slamParameters.cpp:63-240 factory maps;
 cpp/src/slamCore.cpp:207-373 dispatch; typed landmarks Edgelet3D /
 ModelEllipsePattern3D / BBox3d in cpp/include/isaeslam/data/landmarks/).
-Only pointxd and linexd enter the window BA cost -- exactly like the
-reference, whose residual library covers those two types
-(cpp/include/isaeslam/optimizers/BundleAdjustmentCERESAnalytic.h:41-195);
-the remaining types maintain typed landmark maps refined at fixed poses.
+Only pointxd and linexd enter the window BA cost -- like the reference,
+whose residual library covers those two types
+(cpp/include/isaeslam/optimizers/BundleAdjustmentCERESAnalytic.h:41-195):
+points via backend.ba's Schur-eliminated blocks, lines via the LineBlock
+6-dof dense blocks the linexd channel hands to ba_solve
+(pipeline.line_channel, localMapBA parity at
+BundleAdjustmentCERESAnalytic.cpp:273-302).  The remaining types (this
+module) maintain typed landmark maps refined at fixed poses.
 
 Each channel owns a fixed-capacity slot map updated once per keyframe via
 `on_keyframe(frame, img0, img1, R_w_f, t_w_f) -> health dict`, mirroring

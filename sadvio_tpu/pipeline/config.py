@@ -71,7 +71,9 @@ class SLAMConfig:
     # fixed iterations match its accuracy at a fraction of the cost -- raise
     # for harder sequences.
     ba_iterations: int = 8
-    min_kf_number: int = 3
+    # keyframes inserted unconditionally at map start (localmap.h:29; the
+    # reference's shipped config uses 1, ros/config/config.yaml:33)
+    min_kf_number: int = 1
     max_kf_number: int = 12
     fixed_frame_number: int = 1
     min_lmk_number: int = 35

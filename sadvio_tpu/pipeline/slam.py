@@ -123,6 +123,11 @@ class StereoSLAM:
         self._ba_h = np.zeros(3)
         self._bg_h = np.zeros(3)
         self.kf_ts = []  # host mirror of active window-slot timestamps
+        # frame-rate ESKF pose covariance (the reference's _dT_cov,
+        # ESKFEstimator.cpp:178): host mirror + per-KF record used to weight
+        # NFR pose-graph edges
+        self._cov_h = np.zeros((6, 6))
+        self.kf_cov = []
         self._have_priors = False  # host mirror of any(priors.sp_mask)
         self._prefetched = None  # next frame's device images (run() pipeline)
         self._imu_pref = []  # next frame's uploaded IMU batches
@@ -164,13 +169,18 @@ class StereoSLAM:
         # slamParameters.cpp:63-240): each label beyond pointxd instantiates
         # its typed channel, updated at KF rate
         self.channels = []
+        self._line_ch = None  # the in-BA linexd channel, if configured
         self._use_csv = False  # csv detector replaces point detection
         for f in config.features:
             label = f.label.lower()
             if label == "linexd" and C >= 2:
                 from sadvio_tpu.pipeline.line_channel import LineChannel
 
-                self.channels.append(LineChannel(rig))
+                # in_ba: line observations enter the window BA as
+                # pose-constraining residuals (localMapBA linexd parity,
+                # BundleAdjustmentCERESAnalytic.cpp:273-302)
+                self._line_ch = LineChannel(rig, in_ba=True, k_window=K)
+                self.channels.append(self._line_ch)
             elif label == "edgeletxd" and C >= 2:
                 from sadvio_tpu.pipeline.channels import EdgeletChannel
 
@@ -336,18 +346,49 @@ class StereoSLAM:
                 warp=A, engine=self.klt_engine, tmpl_wins=kf_tmpl,
             )
 
-        # PnP on tracks with triangulated landmarks
-        lmk_ok = ok & tracks.has3d & window.lmk_mask
-        R_new, t_new, inliers, pnp_ok, cov = pnp.pnp_ransac(
-            cam0, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk, uv1,
-            lmk_ok, R_pred, t_pred, key,
-        )
-        R_new = jnp.where(pnp_ok, R_new, R_pred)
-        t_new = jnp.where(pnp_ok, t_new, t_pred)
-        # apply the inlier gate only when the solve succeeded: on PnP failure
-        # the tracks must stay alive for dead reckoning + forced KF
-        # (slamBiMonoVIO.cpp:429-443), not be mass-invalidated
-        ok = ok & (~lmk_ok | inliers | ~pnp_ok)
+        # interframe pose estimator dispatch (createPoseEstimator,
+        # slamParameters.cpp:242-260 + predict, slamCore.cpp:432-466)
+        pe_mode = self.cfg.pose_estimator.lower()
+        if pe_mode.startswith("epipolar"):
+            # EpipolarPoseEstimator: essential-RANSAC over the KF->frame ray
+            # matches acts as the success check + inlier gate, but the pose
+            # update stays the motion prediction -- the reference only takes
+            # the estimated transform for pnp ("Update the pose only for
+            # pnp", slamCore.cpp:448-450)
+            rays_kf_e = cam0.backproject(tracks.uv_kf[0])
+            rays_cur_e = cam0.backproject(uv1)
+            _, _, inliers, pnp_ok = epipolar.essential_ransac(
+                rays_kf_e, rays_cur_e, ok, key)
+            R_new, t_new = R_pred, t_pred
+            ok = ok & (~pnp_ok | inliers)
+        else:
+            # "pnp" (default; the reference's "imu" estimator is a TODO stub,
+            # slamParameters.cpp:248-250 -- IMU prediction already feeds
+            # R_pred/t_pred in VIO): PnP on tracks with triangulated landmarks
+            lmk_ok = ok & tracks.has3d & window.lmk_mask
+            R_new, t_new, inliers, pnp_ok, cov = pnp.pnp_ransac(
+                cam0, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk, uv1,
+                lmk_ok, R_pred, t_pred, key,
+            )
+            # constant-velocity sanity at 1000% (slamCore.cpp:453-460): a PnP
+            # solution 10x away from the predicted translation forces the
+            # prediction and reports failure (dead-reckon + KF-force path)
+            k_prev = jnp.maximum(jnp.sum(window.kf_mask) - 1, 0)
+            R_kf0 = window.R[k_prev]
+            t_kf0 = window.t[k_prev]
+            t_rel_est = R_kf0.T @ (t_new - t_kf0)
+            t_rel_prd = R_kf0.T @ (t_pred - t_kf0)
+            n_est = jnp.linalg.norm(t_rel_est)
+            dev = jnp.linalg.norm(t_rel_est - t_rel_prd) / jnp.maximum(n_est, 1e-9)
+            cv_fail = (n_est > 0.01) & (jnp.linalg.norm(t_rel_prd) > 0.01) & (
+                dev > 10.0)
+            pnp_ok = pnp_ok & ~cv_fail
+            R_new = jnp.where(pnp_ok, R_new, R_pred)
+            t_new = jnp.where(pnp_ok, t_new, t_pred)
+            # apply the inlier gate only when the solve succeeded: on PnP
+            # failure the tracks must stay alive for dead reckoning + forced
+            # KF (slamBiMonoVIO.cpp:429-443), not be mass-invalidated
+            ok = ok & (~lmk_ok | inliers | ~pnp_ok)
 
         # epipolar gate vs last KF (slamCore.cpp:224-251, 0.5 deg angular)
         R_ws_kf, t_ws_kf = geo.pose_compose(R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0])
@@ -357,19 +398,24 @@ class StereoSLAM:
         rays_new_c = cam0.backproject(uv1)
         ok = epipolar.epipolar_filter(R_ab, t_ab, rays_kf_c, rays_new_c, ok)
 
+        P_frame = jnp.zeros((6, 6))  # frame pose covariance ([omega, nu])
         if self.vio:
             # ESKF frame update after the filters (reference order:
             # predict -> epipolarFiltering -> outlierRemoval -> ESKF,
             # slamBiMonoVIO.cpp:388-419); the IMU prediction is the prior
             P_prior = eskf_mod.imu_prior_covariance(pre_cov)
             lmk_ok2 = ok & tracks.has3d & window.lmk_mask
-            R_e, t_e, _, n_used = eskf_mod.eskf_update(
+            R_e, t_e, P_post, n_used = eskf_mod.eskf_update(
                 cam0, self.rig.R_f_s[0], self.rig.t_f_s[0], R_pred, t_pred,
                 P_prior, window.lmk, uv1, lmk_ok2, sigma_px=1.0,
             )
             use = eskf_on & pnp_ok & (n_used >= 8)
             R_new = jnp.where(use, R_e, R_new)
             t_new = jnp.where(use, t_e, t_new)
+            # frame covariance record (the reference's _dT_cov role,
+            # ESKFEstimator.cpp:178): filter posterior when fused, else the
+            # raw IMU-prediction prior
+            P_frame = jnp.where(use, P_post, P_prior)
 
         tracks = tracks.replace(
             uv=tracks.uv.at[0].set(uv1), valid=tracks.valid.at[0].set(ok)
@@ -399,6 +445,7 @@ class StereoSLAM:
                 n_trk.astype(jnp.float32), n_lmk_trk.astype(jnp.float32),
             ]),
             R_new.reshape(-1), t_new, v_pred,
+            P_frame.reshape(-1),  # 36 floats; rides the same single fetch
         ])
         return tracks, R_new, t_new, health
 
@@ -576,12 +623,16 @@ class StereoSLAM:
         return tracks, window, obs, imu_chain
 
     @partial(jax.jit, static_argnames=("self",))
-    def _backend(self, window, obs, imu_chain, priors, fixed_n):
+    def _backend(self, window, obs, imu_chain, priors, fixed_n, lines=None):
         """Window BA + outlier removal (backEndStep semantics).
-        fixed_n is traced (its value flips 1->0 once priors exist)."""
+        fixed_n is traced (its value flips 1->0 once priors exist).
+        lines: optional LineBlock -- linexd observations as pose-constraining
+        residuals (localMapBA parity); optimized endpoints come back in
+        stats["line_ends"]."""
         fixed = jnp.arange(self.caps.K) < fixed_n
         problem = ba.BAProblem(
-            window, obs, self.rig, imu_chain, priors, fixed, jnp.asarray(False)
+            window, obs, self.rig, imu_chain, priors, fixed,
+            jnp.asarray(False), lines,
         )
         new_window, stats = ba.ba_solve(problem, self._ba_opts)
         # outlier removal (slamCore.cpp:42-83): mean reprojection error gate
@@ -592,6 +643,27 @@ class StereoSLAM:
         n_obs = jnp.sum(obs.mask, axis=(0, 1))
         starved = new_window.lmk_mask & (n_obs < 2)
         new_window = new_window.replace(lmk_mask=new_window.lmk_mask & ~starved)
+        if lines is not None:
+            # line outlier removal under the same 3 px gate: drop segment
+            # observations whose perpendicular error stays large at the
+            # solution (wrong re-associations otherwise become wild
+            # pose constraints at the next solve)
+            from sadvio_tpu.frontend import lines as lines_mod
+
+            ends_s = stats["line_ends"]
+
+            def perp_cam(c):
+                cam_c = _cam(self.rig, c)
+                r_l, vis = lines_mod.line_reproj_residual(
+                    cam_c, new_window.R[:, None], new_window.t[:, None],
+                    self.rig.R_f_s[c], self.rig.t_f_s[c],
+                    ends_s[None, :, 0], ends_s[None, :, 1], lines.obs[:, c],
+                )
+                return jnp.max(jnp.abs(r_l[..., :2]), axis=-1), vis
+
+            perr = jnp.stack([perp_cam(c)[0] for c in range(2)], axis=1)
+            stats["line_obs_mask"] = lines.obs_mask & ~(
+                lines.mask[None, None, :] & (perr > 3.0))
         return new_window, obs, stats
 
     @partial(jax.jit, static_argnames=("self", "vio"))
@@ -606,11 +678,13 @@ class StereoSLAM:
                 sparsify=self.cfg.sparsification,
             )
             marg_lmk = info["marg_lmk"]
+            n_overflow = info["n_keep_overflow"]
         else:
             new_priors = PriorSet.create(self.caps.K, self.caps.P)
             seen0 = jnp.any(obs.mask[0], axis=0)
             elsewhere = jnp.any(obs.mask[1:], axis=(0, 1))
             marg_lmk = window.lmk_mask & seen0 & ~elsewhere
+            n_overflow = jnp.zeros((), jnp.int32)
         new_priors = marg.shift_priors(new_priors)
         if self.cfg.global_map and gm is not None:
             from sadvio_tpu.data import globalmap as gmap
@@ -637,8 +711,8 @@ class StereoSLAM:
             has3d=tracks.has3d & ~marg_lmk,
         )
         if self.cfg.global_map and gm is not None:
-            return window, obs, imu_chain, new_priors, tracks, gm
-        return window, obs, imu_chain, new_priors, tracks
+            return window, obs, imu_chain, new_priors, tracks, gm, n_overflow
+        return window, obs, imu_chain, new_priors, tracks, n_overflow
 
     # ------------------------------------------------------------------
     # host-side frame loop
@@ -778,8 +852,17 @@ class StereoSLAM:
         after this frame's small uploads, so the big transfer rides the
         tunnel during this frame's compute instead of ahead of the next
         frame's IMU batch.  The device copy is stored in self._prefetched."""
+        # per-stage profiling (slamCore.cpp:468-507 running averages): only
+        # active when run(profile=...) installed self._prof.  Stage tocs
+        # BLOCK on the stage output, which serializes the async pipeline --
+        # attribution mode, not the steady-state loop.
+        prof = getattr(self, "_prof", None)
         if self.vio:
+            if prof:
+                prof.tic()
             self._accumulate_imu(frame)
+            if prof:
+                prof.toc("imu_preint", block=self.pre_cur.dp)
         if images_dev is None:
             images_dev = self._upload_images(frame)
         if prefetch_frame is not None:
@@ -789,7 +872,11 @@ class StereoSLAM:
                 self._imu_pref_ts = prefetch_frame.ts
         else:
             self._prefetched = None
+        if prof:
+            prof.tic()
         pyr_new = self._pyramids(images_dev)
+        if prof:
+            prof.toc("pyramids", block=pyr_new[0][0])
         self._last_pyr = pyr_new  # device refs for subclass post-processing
 
         out = {"ts": frame.ts, "is_kf": False, "ok": True}
@@ -815,12 +902,19 @@ class StereoSLAM:
             self.kf_tmpl = self._template_cache(pyr_new, self.tracks.uv_kf[0])
             self.initialized = True
             self.kf_ts.append(frame.ts)
+            self.kf_cov.append(np.zeros((6, 6)))
             self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
             self.traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
             out["is_kf"] = True
+            if self._line_ch is not None:
+                out.update(self._line_ch.on_keyframe_pre_ba(
+                    pyr_new[0][0], pyr_new[1][0], R0, jnp.zeros(3),
+                    jnp.int32(0)))
             return out
 
         R_pred, t_pred, v_pred = self._predict_pose(frame)
+        if prof:
+            prof.tic()
         (self.tracks, R_new, t_new, health) = self._frontend(
             self.kf_pyr, pyr_new, self.tracks, self.window,
             R_pred, t_pred, self._next_key(), kf_tmpl=self.kf_tmpl,
@@ -829,9 +923,14 @@ class StereoSLAM:
             v_pred=v_pred,
         )
         health_h = np.asarray(health)  # ONE device->host fetch (health + pose)
+        if prof:
+            # the fused track+predict+filter+ESKF kernel; the health fetch
+            # above already forced it
+            prof.toc("track_predict_filter")
         pnp_ok_h = bool(health_h[0] > 0.5)
         R_h = health_h[4:13].reshape(3, 3).copy()
         t_h = health_h[13:16].copy()
+        self._cov_h = health_h[19:55].reshape(6, 6).copy()
         if not pnp_ok_h:
             self.successive_fails += 1
             R_new, t_new = R_pred, t_pred  # dead-reckon (slamBiMonoVIO.cpp:429-443)
@@ -864,11 +963,20 @@ class StereoSLAM:
         n_lmk_h = int(health_h[3])
         force_kf = (not pnp_ok_h) or n_lmk_h < self.cfg.min_lmk_number
         vote_kf = parallax_h > self.cfg.max_movement_parallax
+        # forced KF when >1 s elapsed since the last KF, "to prevent the IMU
+        # to drift" (slamBiMonoVIO.cpp:445-447): a feature-poor stretch must
+        # not let the preintegration interval grow unbounded
+        dt_kf = frame.ts - self.kf_ts[-1] if self.kf_ts else 0.0
+        force_time = self.vio and dt_kf > 1.0
+        # map bootstrap: the first min_kf_number keyframes are inserted
+        # unconditionally ("keyframes added by default when the map starts",
+        # localmap.cpp:6-7 / localmap.h:29)
+        force_boot = self.n_kf < self.cfg.min_kf_number
         # PnP failure bypasses the min-parallax gate entirely (the
         # reference's dead-reckon + forced-KF path, slamBiMonoVIO.cpp:429-443);
         # landmark-starvation forcing keeps the gate so a stationary starved
         # camera does not insert zero-baseline KFs at frame rate
-        is_kf = (not pnp_ok_h) or (
+        is_kf = (not pnp_ok_h) or force_time or force_boot or (
             (force_kf or vote_kf)
             and parallax_h >= self.cfg.min_movement_parallax)
         if not is_kf:
@@ -884,15 +992,28 @@ class StereoSLAM:
             pk0 = np.asarray(self._pack_pose(self.window.R[0], self.window.t[0]))
             self.archived_kf.append((self.kf_ts[0], pk0[:9].reshape(3, 3), pk0[9:]))
             if self.cfg.pose_graph:
+                if prof:
+                    prof.tic()
                 dx_e, inf_e, n_sh = marg.marginalize_relative(
                     self.window, self.obs, self.rig, self.imu,
                     self._ba_opts, vio=self.vio and self.vi_initialized,
                 )
                 if int(n_sh) > 0:
+                    from sadvio_tpu.backend import posegraph as pg
+
+                    # weight the edge by the endpoints' frame-rate ESKF
+                    # covariance (the reference's _dT_cov role): a
+                    # high-uncertainty keyframe yields a weaker edge
+                    inf_np = pg.inflate_edge_info(
+                        np.asarray(inf_e), self.kf_cov[0], self.kf_cov[1])
                     self.pose_graph_edges.append((
                         self.kf_ts[0], self.kf_ts[1],
-                        np.asarray(dx_e), np.asarray(inf_e),
+                        np.asarray(dx_e), inf_np,
                     ))
+                if prof:
+                    prof.toc("nfr_edge")
+            if prof:
+                prof.tic()
             mr = self._marg_roll(
                 self.window, self.obs, self.imu, self.priors, self.tracks,
                 self.vio and self.vi_initialized,
@@ -900,14 +1021,29 @@ class StereoSLAM:
             )
             if self.global_map_state is not None:
                 (self.window, self.obs, self.imu, self.priors, self.tracks,
-                 self.global_map_state) = mr
+                 self.global_map_state, n_ovf) = mr
             else:
-                (self.window, self.obs, self.imu, self.priors, self.tracks) = mr
+                (self.window, self.obs, self.imu, self.priors, self.tracks,
+                 n_ovf) = mr
+            if prof:
+                prof.toc("marginalization", block=self.window.R)
+                # surface the keep-set capacity overflow (landmarks demoted
+                # to lonely, losing prior correlation): a busy scene must
+                # not degrade the prior silently
+                ovf = int(n_ovf)
+                out["keep_overflow"] = ovf
+                prof.sums["keep_overflow_lmk"] += ovf
+                prof.counts["keep_overflow_lmk"] += 1
             if self.cfg.marginalization:
                 self._have_priors = True
+            if self._line_ch is not None:
+                self._line_ch.on_roll()  # slot-aligned line obs shift too
             self.kf_ts.pop(0)
+            self.kf_cov.pop(0)
             self.n_kf = K - 1
         slot = self.n_kf
+        if prof:
+            prof.tic()
         ins = self._insert_kf(
             pyr_new, self.tracks, self.window, self.obs, self.imu,
             self.pre_cur, R_new, t_new, v_pred, jnp.float32(frame.ts),
@@ -922,12 +1058,30 @@ class StereoSLAM:
             self.tracks, self.window, self.obs, self.imu = ins
         self.n_kf += 1
         self.kf_ts.append(frame.ts)
+        self.kf_cov.append(self._cov_h)
         self.kf_pyr = pyr_new
         self.kf_tmpl = self._template_cache(pyr_new, self.tracks.uv_kf[0])
         self.pre_cur = imu_mod.Preintegration.identity().replace(
             ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
         )
         self._imu_n = 0
+        if prof:
+            # detect + stereo track + triangulate + template cache
+            prof.toc("detect_lmk_init", block=self.tracks.uv)
+
+        # typed-channel pre-BA update: the linexd channel detects/associates
+        # at the new KF and contributes its LineBlock to the window BA so
+        # line observations constrain poses (localMapBA linexd residuals,
+        # BundleAdjustmentCERESAnalytic.cpp:273-302)
+        ba_lines = None
+        if self._line_ch is not None:
+            if prof:
+                prof.tic()
+            out.update(self._line_ch.on_keyframe_pre_ba(
+                pyr_new[0][0], pyr_new[1][0], R_new, t_new, jnp.int32(slot)))
+            ba_lines = self._line_ch.ba_block()
+            if prof:
+                prof.toc("line_channel", block=ba_lines.ends)
 
         # back end (KF rate).  _have_priors is the host mirror of
         # any(priors.sp_mask) -- checking the device mask here would cost a
@@ -939,6 +1093,8 @@ class StereoSLAM:
         # out while velocities/biases are still at their zero defaults
         imu_for_ba = (self.imu if self.vi_initialized else
                       self.imu.replace(mask=jnp.zeros_like(self.imu.mask)))
+        if prof:
+            prof.tic()
         if self.backend_exec is not None:
             # full backend step (BA + outlier removal) on the executor
             # device; collect() returns async futures, so tracking on the
@@ -946,13 +1102,19 @@ class StereoSLAM:
             # back-end thread
             self.backend_exec.submit_fn(
                 self._backend, self.window, self.obs, imu_for_ba,
-                self.priors, fixed_n)
+                self.priors, fixed_n, ba_lines)
             self.window, self.obs, stats = self.backend_exec.collect(
                 to_device=jax.devices()[0])
         else:
             self.window, self.obs, stats = self._backend(
-                self.window, self.obs, imu_for_ba, self.priors, fixed_n
+                self.window, self.obs, imu_for_ba, self.priors, fixed_n,
+                ba_lines,
             )
+        if ba_lines is not None:
+            self._line_ch.apply_ba(stats["line_ends"],
+                                   stats.get("line_obs_mask"))
+        if prof:
+            prof.toc("window_opt", block=self.window.R)
         # sync current pose/velocity to the optimized keyframe
         self.R_cur = self.window.R[slot]
         self.t_cur = self.window.t[slot]
@@ -970,11 +1132,17 @@ class StereoSLAM:
         # densification at KF rate (mesher->addNewKF, slamBiMonoVIO.cpp:601-603;
         # the detached Mesher thread becomes an async per-KF update)
         if self.mesher is not None:
+            if prof:
+                prof.tic()
             imgs = jnp.stack([pyr_new[c][0] for c in range(2)])
             self.mesher.update(imgs, self.window, self.R_cur, self.t_cur)
             out["mesh_triangles"] = int(jnp.sum(self.mesher.tri_mask))
+            if prof:
+                prof.toc("mesh", block=self.mesher.tri_mask)
         img1 = pyr_new[1][0] if self.C > 1 else pyr_new[0][0]
         for ch in self.channels:
+            if ch is self._line_ch:
+                continue  # already updated pre-BA
             out.update(ch.on_keyframe(
                 frame, pyr_new[0][0], img1, self.R_cur, self.t_cur))
         return out
@@ -1012,6 +1180,8 @@ class StereoSLAM:
             # pre-alignment gauge and must move with the map, or the first
             # VI window BA is pulled back toward the old gauge
             self.priors = marg.gauge_transform_priors(self.priors, R_align, s)
+        if self._line_ch is not None:
+            self._line_ch.gauge_transform(R_align, s)
         self.vi_initialized = True
         # full VI window BA at the aligned, metric state
         self.window, self.obs, _ = self._backend(
@@ -1071,6 +1241,8 @@ class StereoSLAM:
         self._imu_n = 0
         self.n_kf = 0
         self.kf_ts = []
+        self.kf_cov = []
+        self._cov_h = np.zeros((6, 6))
         self._have_priors = False
         self.initialized = False
         self.vi_initialized = not self.vio
@@ -1078,6 +1250,8 @@ class StereoSLAM:
         self._bg_h = np.zeros(3)
         self.successive_fails = 0
         self.n_resets += 1
+        if self._line_ch is not None:
+            self._line_ch.clear()
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -1118,22 +1292,38 @@ class StereoSLAM:
                 prof.sums[name] += dt
                 prof.counts[name] += 1
         if log_dir:
-            import os
-
-            from sadvio_tpu.pipeline.euroc import write_results_csv, write_vio_csv
-
-            os.makedirs(log_dir, exist_ok=True)
-            write_results_csv(os.path.join(log_dir, "results.csv"), self.kf_traj)
-            if self.cfg.pose_graph:
-                # end-of-run pose-graph correction over the archive
-                write_results_csv(
-                    os.path.join(log_dir, "results_posegraph.csv"),
-                    self.optimize_archive())
-            # frame-rate VIO state (pose, velocity, biases) when available,
-            # else position-only rows
-            rows = self.vio_log if self.vio_log else [
-                (ts, *np.asarray(t).tolist()) for ts, _, t in self.traj
-            ]
-            write_vio_csv(os.path.join(log_dir, "vio_poses.csv"), rows)
-            prof.dump(os.path.join(log_dir, "slam_profiler.txt"))
+            self.write_logs(log_dir, n_frames=len(frames))
         return np.asarray([t for _, _, t in self.traj])
+
+    def write_logs(self, log_dir, n_frames=None):
+        """Write the log_slam/ output set (results.csv KF trajectory,
+        slamCore.cpp:509-519 layout; vio_poses.csv frame-rate state,
+        slamBiMonoVIO.cpp:616-642; slam_profiler.txt when profiling;
+        results_posegraph.csv when pose_graph).  Explicit flush entry --
+        callable from any driver loop, not just run()."""
+        import os
+
+        from sadvio_tpu.pipeline.euroc import write_results_csv, write_vio_csv
+
+        os.makedirs(log_dir, exist_ok=True)
+        write_results_csv(os.path.join(log_dir, "results.csv"), self.kf_traj)
+        if self.cfg.pose_graph:
+            # end-of-run pose-graph correction over the archive
+            write_results_csv(
+                os.path.join(log_dir, "results_posegraph.csv"),
+                self.optimize_archive())
+        # frame-rate VIO state (pose, velocity, biases) when available,
+        # else position-only rows
+        rows = self.vio_log if self.vio_log else [
+            (ts, *np.asarray(t).tolist()) for ts, _, t in self.traj
+        ]
+        write_vio_csv(os.path.join(log_dir, "vio_poses.csv"), rows)
+        prof = getattr(self, "_prof", None)
+        if prof is not None:
+            prof.dump_slam(
+                os.path.join(log_dir, "slam_profiler.txt"),
+                n_frames=n_frames if n_frames is not None else len(self.traj),
+                n_keyframes=len(self.kf_traj),
+                pose_estimator=self.cfg.pose_estimator,
+                mesh_on=self.mesher is not None,
+            )

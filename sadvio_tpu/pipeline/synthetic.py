@@ -41,6 +41,7 @@ class SyntheticWorld(NamedTuple):
     gt_t: np.ndarray  # (T,3)
     gt_v: np.ndarray  # (T,3)
     points: np.ndarray  # (N,3) scene points
+    segments: np.ndarray = np.zeros((0, 2, 3), np.float32)  # (S,2,3) 3D lines
 
 
 def make_rig(width=320, height=240, baseline=0.11, f=200.0, camera="pinhole"):
@@ -120,6 +121,53 @@ def render_view(cam_f, cam_c, R_w_f, t_w_f, R_f_s, t_f_s, pts, intens,
     return jnp.clip(img, 0.0, 255.0)
 
 
+def _sample_segments(rng, n_lines):
+    """3D line segments on the blob wall (z ~ [4.5, 8]), orientations kept
+    away from the stereo epipolar plane (x axis): a line parallel to the
+    baseline is degenerate for two-view plane-intersection triangulation."""
+    mid = np.stack([
+        rng.uniform(-4.0, 4.0, n_lines), rng.uniform(-2.8, 2.8, n_lines),
+        rng.uniform(4.8, 7.8, n_lines),
+    ], -1)
+    ang = rng.uniform(np.deg2rad(25), np.deg2rad(155), n_lines)
+    flip = rng.choice([-1.0, 1.0], n_lines)
+    d = np.stack([np.cos(ang) * flip, np.sin(ang),
+                  rng.uniform(-0.15, 0.15, n_lines)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    half = rng.uniform(1.0, 1.8, (n_lines, 1))
+    return np.stack([mid - d * half, mid + d * half], axis=1).astype(np.float32)
+
+
+def _render_segments(img, rig, c, R_k, t_k, segs, thickness=1.3, amp=150.0):
+    """Draw projected 3D segments into one camera image (numpy, host-side).
+
+    Pinhole: straight 3D lines project to straight 2D segments, so drawing
+    the chord between projected endpoints is exact."""
+    if segs is None or len(segs) == 0:
+        return img
+    H, W = img.shape
+    R_f_s = np.asarray(rig.R_f_s[c])
+    t_f_s = np.asarray(rig.t_f_s[c])
+    f = float(rig.cam.fx[c])
+    cx, cy = float(rig.cam.cx[c]), float(rig.cam.cy[c])
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    out = img.astype(np.float64)
+    for seg in segs:
+        p_f = (seg - t_k) @ R_k  # R^T (p - t), rows
+        p_c = (p_f - t_f_s) @ R_f_s
+        if (p_c[:, 2] < 0.5).any():
+            continue
+        u = f * p_c[:, 0] / p_c[:, 2] + cx
+        v = f * p_c[:, 1] / p_c[:, 2] + cy
+        d = np.array([u[1] - u[0], v[1] - v[0]])
+        Ln = max(np.hypot(*d), 1e-6)
+        t_hat = d / Ln
+        s = (xs - u[0]) * t_hat[0] + (ys - v[0]) * t_hat[1]
+        perp = -(xs - u[0]) * t_hat[1] + (ys - v[0]) * t_hat[0]
+        out += amp * ((s > 0) & (s < Ln)) * np.exp(-0.5 * (perp / thickness) ** 2)
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
 def _trajectory(t, rot_scale=1.0):
     """Analytic trajectory (f64): lateral sweep + gentle bob, looking at +z.
 
@@ -148,7 +196,8 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                noise_px=0.0, imu_noise=True,
                acc_bias=None, gyr_bias=None, rot_scale=1.0,
                gain_jitter=0.0, offset_jitter=0.0,
-               occluder=False, camera="pinhole") -> SyntheticWorld:
+               occluder=False, camera="pinhole",
+               n_lines=0) -> SyntheticWorld:
     """acc_bias/gyr_bias: optional constant (3,) sensor biases added to the
     IMU measurements -- the estimator should recover them (the reference's
     imu_test.cpp biasEstimation pattern).
@@ -160,6 +209,8 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
       offset_jitter per-frame, per-camera additive intensity offset
       occluder      a dark disc sweeping through the image (dynamic
                     foreground object violating photometric constancy)
+      n_lines       bright 3D line segments on the wall (linexd worlds;
+                    pinhole rendering only)
     """
     rng = np.random.default_rng(seed)
     rig = make_rig(width, height, camera=camera)
@@ -185,6 +236,8 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     pts = np.concatenate([pts2, z[:, None]], -1).astype(np.float32)
     n_points = len(pts)
     intens = rng.uniform(80, 220, n_points).astype(np.float32)
+    segs = _sample_segments(rng, n_lines) if n_lines else np.zeros(
+        (0, 2, 3), np.float32)
 
     # dense f64 trajectory at IMU rate
     n_sub = int(round(imu_rate / fps))
@@ -226,7 +279,10 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                 rig.R_f_s[c], rig.t_f_s[c], jnp.asarray(pts), jnp.asarray(intens),
                 width, height, model=model_c,
             )
-            imgs.append(np.asarray(img))
+            img = np.asarray(img)
+            if n_lines and camera == "pinhole":
+                img = _render_segments(img, rig, c, R_k, t_k, segs)
+            imgs.append(img)
         if gain_jitter > 0 or offset_jitter > 0:
             imgs = [np.clip(
                 im * (1.0 + rng.uniform(-gain_jitter, gain_jitter))
@@ -271,7 +327,7 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
         gt_R=np.stack(gt_R).astype(np.float32),
         gt_t=np.stack(gt_t).astype(np.float32),
         gt_v=np.stack(gt_v).astype(np.float32),
-        points=pts,
+        points=pts, segments=segs,
     )
 
 

@@ -85,15 +85,26 @@ def main(argv=None):
     slam = build_slam(cfg, rig, imu_params)
     t0 = time.perf_counter()
     n = 0
-    for frame in provider.frames(max_frames=max_frames):
-        out = slam.process_frame(frame)
+    # one-frame-lookahead prefetch loop (the run() pipeline): the next
+    # frame's image upload + IMU pack ride the device link during the
+    # current frame's compute, so the native loader's prefetch ring and the
+    # device-upload overlap both engage on this path
+    it = provider.frames(max_frames=max_frames)
+    frame = next(it, None)
+    pending = slam._upload_images(frame) if frame is not None else None
+    out = {}
+    while frame is not None:
+        nxt = next(it, None)
+        out = slam.process_frame(frame, images_dev=pending, prefetch_frame=nxt)
+        pending = slam._prefetched
+        frame = nxt
         n += 1
         if n % 50 == 0:
             print(f"frame {n}: kf={len(slam.kf_traj)} "
                   f"ntrk={out.get('n_tracked', '-')}")
     dt = time.perf_counter() - t0
     print(f"{n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")
-    slam.run([], log_dir="log_slam", profile=False)  # flush CSV logs
+    slam.write_logs("log_slam")
     print("wrote log_slam/results.csv, vio_poses.csv")
     return 0
 

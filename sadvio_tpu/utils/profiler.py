@@ -51,7 +51,7 @@ class Profiler:
         return 1000.0 * self.sums[name] / c if c else 0.0
 
     def dump(self, path=None):
-        """slam_profiler.txt-style stage table (slamCore.cpp:554-584)."""
+        """Raw stage table (all recorded stages)."""
         lines = ["stage                          avg_ms      calls     total_s"]
         for name in sorted(self.sums):
             lines.append(
@@ -59,6 +59,67 @@ class Profiler:
                 f" {self.sums[name]:>11.3f}"
             )
         text = "\n".join(lines)
+        if path:
+            with open(path, "w") as f:
+                f.write(text + "\n")
+        return text
+
+    def dump_slam(self, path=None, *, n_frames=0, n_keyframes=0,
+                  pose_estimator="pnp", mesh_on=False):
+        """slam_profiler.txt with the reference's field set
+        (slamCore.cpp:554-584), mapped onto this pipeline's fused stages:
+
+          Img process dt        <- pyramids (per frame)
+          Prediction ... dt     <- track_predict_filter (the fused
+                                   track+PnP/epipolar+filter+ESKF kernel;
+                                   the reference's Prediction/Matching in
+                                   time/filter/cleaning rows are one kernel
+                                   here, so they share this number)
+          Detection dt          <- detect_lmk_init (detect+stereo+
+                                   triangulate, per KF)
+          Landmark init dt      <- (inside detect_lmk_init; 0 row kept for
+                                   layout parity)
+          Marginalization dt    <- marginalization
+          Optimize window dt    <- window_opt
+          Mesh dt               <- mesh (when mesh3d)
+
+        followed by the raw stage table for everything else recorded.
+        """
+        import time as _time
+
+        am = self.avg_ms
+        kf_over_frames = n_keyframes / max(n_frames, 1)
+        front = (am("pyramids") + am("imu_preint") + am("track_predict_filter")
+                 + (am("detect_lmk_init") + am("line_channel"))
+                 * kf_over_frames)
+        back = (am("window_opt") + am("marginalization")
+                + am("nfr_edge")) * kf_over_frames
+        rows = [
+            "===== SLAM profiler =======",
+            str(int(_time.time())),
+            f"Number of frames: {n_frames}",
+            f"Number of keyframes: {n_keyframes}",
+            f"Img process dt: {am('pyramids'):.3f}",
+            f"Detection dt: {am('detect_lmk_init'):.3f}",
+            f"Prediction {pose_estimator}RANSAC dt: "
+            f"{am('track_predict_filter'):.3f}",
+            f"Matching in frame dt: {am('detect_lmk_init'):.3f}",
+            f"Matching in time dt: {am('track_predict_filter'):.3f}",
+            f"Average filter time dt: {am('track_predict_filter'):.3f}",
+            f"Average cleaning time dt: {am('window_opt'):.3f}",
+            f"Landmark init dt: {am('detect_lmk_init'):.3f}",
+            f"Optimize frame dt: {am('track_predict_filter'):.3f}",
+            f"Marginalization dt: {am('marginalization'):.3f}",
+        ]
+        if mesh_on:
+            rows.append(f"Mesh dt: {am('mesh'):.3f}")
+        rows += [
+            f"Optimize window dt: {am('window_opt'):.3f}",
+            f"Front end dt: {front:.3f}",
+            f"Back end dt: {back:.3f}",
+            "",
+        ]
+        text = "\n".join(rows) + self.dump()
         if path:
             with open(path, "w") as f:
                 f.write(text + "\n")

@@ -230,6 +230,20 @@ def test_shift_priors():
     assert (np.asarray(shifted.plp_frame) == 0).all()
 
 
+def test_keep_overflow_surfaced(rng):
+    """Keep-set landmarks beyond the P prior slots are demoted to lonely --
+    and the count is REPORTED (info["n_keep_overflow"]), not silently
+    dropped (round-3 advisor: silent capacity cap)."""
+    gt, obs, rig = make_world(rng)
+    small_p = 8  # this world keeps far more than 8 shared landmarks
+    priors = PriorSet.create(K, small_p)
+    b = marg.partition_blanket(gt, obs, priors, small_p)
+    assert int(b.n_overflow) > 0
+    _, info = marg.marginalize(gt, obs, rig, ImuChain.create(K), priors,
+                               ba.BAOptions(), vio=True)
+    assert int(info["n_keep_overflow"]) == int(b.n_overflow)
+
+
 @pytest.mark.parametrize("mode", ["vio", "vo", "dense"])
 def test_gauge_transform_priors_invariance(rng, mode):
     """Rotating/rescaling the map AND its priors through

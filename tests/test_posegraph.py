@@ -98,3 +98,25 @@ def test_pipeline_edges_feed_posegraph(rng):
     assert np.isfinite(np.asarray(tf)).all()
     # already-consistent edges: optimization should not blow the trajectory up
     assert float(jnp.linalg.norm(tf - t0, axis=-1).max()) < 0.5
+
+
+def test_eskf_covariance_weakens_edge():
+    """inflate_edge_info: a high-uncertainty endpoint (large ESKF frame
+    covariance) yields a strictly weaker NFR edge (the reference's _dT_cov
+    role, ESKFEstimator.cpp:178)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 6))
+    inf = A @ A.T + 10.0 * np.eye(6)
+    P_small = 1e-4 * np.eye(6)
+    P_big = 1e-1 * np.eye(6)
+    inf_s = posegraph.inflate_edge_info(inf, P_small, P_small)
+    inf_b = posegraph.inflate_edge_info(inf, P_big, P_small)
+    ev_s = np.linalg.eigvalsh(inf_s)
+    ev_b = np.linalg.eigvalsh(inf_b)
+    assert (ev_b <= ev_s + 1e-9).all()
+    assert ev_b.max() < 0.5 * ev_s.max()  # materially weaker
+    # zero-covariance endpoints leave the edge essentially unchanged
+    inf_0 = posegraph.inflate_edge_info(inf, np.zeros((6, 6)), np.zeros((6, 6)))
+    np.testing.assert_allclose(inf_0, inf, rtol=1e-5, atol=1e-6)
