@@ -76,21 +76,34 @@ def bench_ba():
 
 
 def bench_klt(world, slam):
-    """Frame-rate KLT (512 slots, production engine), chained via uv."""
+    """Frame-rate KLT (512 slots, production engine), chained via uv.
+
+    Measures the PRODUCTION frame-rate path: template windows are KF-cached
+    (slam._template_cache runs once per keyframe, not per frame), and each
+    link seeds ~1 px off the optimum -- the realistic predicted-pose seed
+    error -- so the epsilon early exit runs a representative iteration
+    count instead of re-polishing an already-converged point."""
+    import jax.numpy as jnp
     from sadvio_tpu.frontend import klt
 
     f = world.frames[12]
     pyr = slam._pyramids(slam._upload_images(f))
     uv0 = slam.tracks.uv_kf[0]
     valid = slam.tracks.valid[0]
+    tmpl = klt.template_windows_pyr(
+        slam.kf_pyr[0], uv0, slam.caps.pyr_levels, slam.caps.klt_radius)
+    deltas = [jnp.asarray([0.9, -0.7], jnp.float32),
+              jnp.asarray([-0.8, 0.6], jnp.float32),
+              jnp.asarray([0.5, 1.0], jnp.float32)]
 
     def chain(n):
         uv = uv0
-        for _ in range(n):
+        for k in range(n):
+            seed = uv0 + deltas[k % 3] + 1e-12 * uv.sum()
             uv, ok, _ = klt.track(
-                slam.kf_pyr[0], pyr[0], uv0, uv, valid,
+                slam.kf_pyr[0], pyr[0], uv0, seed, valid,
                 levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius,
-                engine=slam.klt_engine)
+                engine=slam.klt_engine, tmpl_wins=tmpl)
         return uv
 
     def timed(n):

@@ -51,7 +51,14 @@ def optimize_pose_graph(R, t, node_mask, ea, eb, dx, sqrt_inf, edge_mask,
     Node 0 is held fixed (gauge).  Returns (R, t, final_cost).
     """
     M = R.shape[0]
-    free = node_mask & (jnp.arange(M) > 0)
+    # nodes no live edge touches cannot be corrected; leaving them "free"
+    # puts damping-scale (1e-6) diagonal blocks next to edge-information
+    # blocks (often 1e6+) in one H -- a 1e12 condition number that NaNs the
+    # f32 solve.  Clamp them to identity rows like the gauge node.
+    touched = jnp.zeros((M,), bool)
+    touched = touched.at[jnp.where(edge_mask, ea, M)].set(True, mode="drop")
+    touched = touched.at[jnp.where(edge_mask, eb, M)].set(True, mode="drop")
+    free = node_mask & (jnp.arange(M) > 0) & touched
 
     def residuals(dz, Rc, tc):
         d = dz.reshape(M, 6) * free[:, None]
@@ -92,7 +99,12 @@ def edges_from_archive(pose_graph_edges, kf_ts, dtype=jnp.float32):
 
     from sadvio_tpu.backend.marginalization import sqrt_psd
 
-    idx = {float(ts): i for i, ts in enumerate(kf_ts)}
+    # prefer the FIRST occurrence of a timestamp: when a keyframe appears
+    # both as an archived node and (still) in the live window, loop-closure
+    # edges must anchor to the archived (drift-free-at-archive-time) copy
+    idx = {}
+    for i, ts in enumerate(kf_ts):
+        idx.setdefault(float(ts), i)
     ea, eb, dxs, infs = [], [], [], []
     for ts0, ts1, d, inf in pose_graph_edges:
         if float(ts0) in idx and float(ts1) in idx:

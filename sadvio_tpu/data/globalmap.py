@@ -34,6 +34,8 @@ class GlobalMap(NamedTuple):
     desc: jnp.ndarray  # (A,8) uint32 BRIEF descriptors
     mask: jnp.ndarray  # (A,)
     head: jnp.ndarray  # () int32 ring cursor
+    src: jnp.ndarray  # (A,) int32 archiving-KF index into the host-side
+    #                   archived_kf log -- provenance for loop closure
     # archived keyframe trajectory lives host-side (append-only log)
 
     @classmethod
@@ -43,6 +45,7 @@ class GlobalMap(NamedTuple):
             desc=jnp.zeros((capacity, 8), jnp.uint32),
             mask=jnp.zeros((capacity,), bool),
             head=jnp.zeros((), jnp.int32),
+            src=jnp.full((capacity,), -1, jnp.int32),
         )
 
     @property
@@ -51,8 +54,12 @@ class GlobalMap(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=())
-def archive(gm: GlobalMap, pos, desc, alive):
-    """Append landmarks (masked) into the ring (addFrame semantics)."""
+def archive(gm: GlobalMap, pos, desc, alive, src_idx=None):
+    """Append landmarks (masked) into the ring (addFrame semantics).
+
+    src_idx: optional scalar index of the archiving keyframe in the
+    host-side archived_kf log, stored per landmark so a later resurrection
+    can name the revisited keyframe (loop-closure provenance)."""
     A = gm.capacity
     n = pos.shape[0]
     rank = jnp.cumsum(alive) - 1
@@ -61,8 +68,12 @@ def archive(gm: GlobalMap, pos, desc, alive):
     new_pos = gm.pos.at[slot].set(pos, mode="drop")
     new_desc = gm.desc.at[slot].set(desc, mode="drop")
     new_mask = gm.mask.at[slot].set(True, mode="drop")
+    if src_idx is None:
+        src_idx = jnp.int32(-1)
+    new_src = gm.src.at[slot].set(
+        jnp.broadcast_to(jnp.asarray(src_idx, jnp.int32), (n,)), mode="drop")
     return gm._replace(
-        pos=new_pos, desc=new_desc, mask=new_mask,
+        pos=new_pos, desc=new_desc, mask=new_mask, src=new_src,
         head=(gm.head + jnp.sum(alive)) % A,
     )
 
@@ -75,7 +86,9 @@ def resurrect(gm: GlobalMap, cam, R_w_f, t_w_f, R_f_s, t_f_s,
     Projects the archive with the current pose; archived landmarks whose
     projection lands near a detection with a matching descriptor are
     returned as (det_index -> archive position) pairs.
-    Returns (lmk_of_det (N,3), hit (N,) bool).
+    Returns (lmk_of_det (N,3), hit (N,) bool, src_of_det (N,) int32): the
+    archived position, hit flag and archiving-KF provenance per detection
+    (src = -1 where no hit).
     """
     uv_proj, vis = cameras.project_world(cam, R_w_f, t_w_f, R_f_s, t_f_s, gm.pos)
     idx, dist = match_mod.match(
@@ -85,8 +98,9 @@ def resurrect(gm: GlobalMap, cam, R_w_f, t_w_f, R_f_s, t_f_s,
     N = det_uv.shape[0]
     hit = jnp.zeros((N,), bool)
     lmk = jnp.zeros((N, 3))
+    src_det = jnp.full((N,), -1, jnp.int32)
     src = jnp.where(idx >= 0, idx, N)  # matched detection index per archive row
-    arch_rows = jnp.arange(gm.capacity)
     hit = hit.at[src].set(idx >= 0, mode="drop")
     lmk = lmk.at[src].set(gm.pos, mode="drop")
-    return lmk, hit
+    src_det = src_det.at[src].set(gm.src, mode="drop")
+    return lmk, hit, src_det

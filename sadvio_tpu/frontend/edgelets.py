@@ -103,7 +103,8 @@ def triangulate_edgelet(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
     ends_a = jnp.stack([uv_a - eps_px * dir_a, uv_a + eps_px * dir_a], -2)
     ends_b = jnp.stack([uv_b - eps_px * dir_b, uv_b + eps_px * dir_b], -2)
     q0, q1, ok_l = lines_mod.triangulate_line(
-        cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b, ends_a, ends_b
+        cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b, ends_a, ends_b,
+        cond_min=0.0,
     )
     d = q1 - q0
     dn = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)

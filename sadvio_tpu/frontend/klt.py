@@ -22,10 +22,14 @@ import jax.numpy as jnp
 from sadvio_tpu.frontend.detect import bilinear_sample
 
 
+_PWY = 40  # Pallas LK window rows (= ops.klt_kernel.WIN_Y)
+_PWX = 256  # Pallas LK window cols (= ops.klt_kernel.WIN_X)
+
+
 def build_pyramid(img, levels: int = 3):
     """List of images, level 0 = full res; 2x2 average-pool downsampling.
 
-    Sub-levels are edge-padded up to the Pallas LK window (32, 256) so the
+    Sub-levels are edge-padded up to the Pallas LK window (40, 256) so the
     whole pyramid tracks on the kernel path (a 256-lane window with 128-lane
     DMA snapping is the minimum that keeps >=64 lanes of margin around the
     feature).  Level 0 is never padded; true sub-level dims are recomputed
@@ -39,7 +43,7 @@ def build_pyramid(img, levels: int = 3):
     out = [pyr[0]]
     for x in pyr[1:]:
         H, W = x.shape
-        ph, pw = max(32 - H, 0), max(256 - W, 0)
+        ph, pw = max(_PWY - H, 0), max(_PWX - W, 0)
         # edge replicate via broadcast+concat (jnp.pad mode="edge" lowers to
         # a slower gather on TPU)
         if pw:
@@ -167,7 +171,8 @@ _BWY = 32  # batched-engine window rows (patch S<=23 + drift margin)
 _BWX = 32  # batched-engine window cols
 
 
-def _iterate_batched(img1, uv_init, T, gx, gy, nrm, radius: int, iters: int):
+def _iterate_batched(img1, uv_init, T, gx, gy, nrm, radius: int, iters: int,
+                     eps: float = 0.01, conv_mask=None):
     """IC-LK iterations for ALL features at once, windows + fused sampling.
 
     The third engine for the LK hot loop (alongside the Pallas kernel and
@@ -235,15 +240,31 @@ def _iterate_batched(img1, uv_init, T, gx, gy, nrm, radius: int, iters: int):
 
     a, b, c, inv_det = nrm[:, 0], nrm[:, 1], nrm[:, 2], nrm[:, 3]
 
-    def body(_, uvc):
+    # epsilon early exit (cv::TermCriteria eps=0.01 semantics): the batch
+    # advances in lock-step, so the loop runs until every CONSIDERED feature
+    # (conv_mask, default all) has a sub-eps step; a non-finite step counts
+    # as converged so one divergent feature cannot pin the loop at the cap
+    eps2 = jnp.asarray(eps * eps, jnp.float32)
+    cmask = (jnp.ones(uv_c.shape[0], bool) if conv_mask is None
+             else conv_mask)
+
+    def cond(carry):
+        uvc, it, moving = carry
+        return (it < iters) & moving
+
+    def body(carry):
+        uvc, it, _ = carry
         e = sample(uvc) - T
         bx = (e * gx).sum((1, 2))
         by = (e * gy).sum((1, 2))
         du = (c * bx - b * by) * inv_det
         dv = (a * by - b * bx) * inv_det
-        return uvc - jnp.stack([du, dv], -1)
+        step2 = du * du + dv * dv
+        moving = jnp.any(cmask & (step2 > eps2))
+        return uvc - jnp.stack([du, dv], -1), it + 1, moving
 
-    uv = jax.lax.fori_loop(0, iters, body, uv_c)
+    uv, _, _ = jax.lax.while_loop(
+        cond, body, (uv_c, jnp.int32(0), jnp.asarray(True)))
     err = jnp.abs(sample(uv) - T).mean((1, 2))
     # reject tracks whose sampling clamped at the window edge
     loc = uv - base
@@ -256,7 +277,7 @@ def _iterate_batched(img1, uv_init, T, gx, gy, nrm, radius: int, iters: int):
 
 def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
                  min_eig: float, true_hw=None, engine: str = "batched",
-                 tmpl_win=None):
+                 tmpl_win=None, eps: float = 0.01, conv_mask=None):
     """One pyramid level of IC-LK for all features. uv in this level's scale.
 
     ``warp`` (N,2,2) maps target-patch offsets to template-patch offsets
@@ -274,12 +295,14 @@ def _track_level(img0, img1, uv0, uv1, warp, radius: int, iters: int,
     S = 2 * radius + 1
 
     if engine == "batched":
-        uv, err, inwin = _iterate_batched(img1, uv1, T, gx, gy, nrm, radius, iters)
+        uv, err, inwin = _iterate_batched(img1, uv1, T, gx, gy, nrm, radius,
+                                          iters, eps=eps, conv_mask=conv_mask)
         good_grad = good_grad & inwin
     elif engine == "pallas":
         from sadvio_tpu.ops import klt_kernel
 
-        out = klt_kernel.lk_iterate(img1, uv1, T, gx, gy, nrm, iters=iters)
+        out = klt_kernel.lk_iterate(img1, uv1, T, gx, gy, nrm, iters=iters,
+                                    eps=eps)
         uv = out[:, :2]
         err = out[:, 2]
     else:
@@ -324,11 +347,12 @@ def template_windows_pyr(pyr, uv0, levels: int, radius: int):
 
 
 @partial(jax.jit, static_argnames=("levels", "radius", "iters", "iters_coarse",
-                                   "engine", "bwd_levels"))
+                                   "engine", "bwd_levels", "eps"))
 def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
           iters: int = 10, iters_coarse: int = 6, min_eig: float = 1e-3,
           fb_thresh: float = 0.5, max_err: float = 20.0, warp=None,
-          engine: str = "batched", bwd_levels: int = 1, tmpl_wins=None):
+          engine: str = "batched", bwd_levels: int = 1, tmpl_wins=None,
+          eps: float = 0.01):
     """Track features uv0 from pyramid pyr0 to pyr1 with initial guess uv_init.
 
     Returns (uv1, valid, err).  Forward-backward consistency < fb_thresh px
@@ -341,10 +365,12 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
     scene -- pure-translation LK otherwise picks up a radial scale bias
     that masquerades as forward translation in the pose solve.
 
-    ``iters_coarse``: iteration count for pyramid levels > 0 -- coarse
+    ``iters_coarse``: iteration CAP for pyramid levels > 0 -- coarse
     levels only localize to ~a pixel before handing down, so fewer
-    iterations there cost nothing (the reference's epsilon-0.01 early exit
-    plays the same role per feature; here counts are static shapes).
+    iterations there cost nothing.  ``eps``: sub-``eps``-pixel update steps
+    terminate the iteration early (cv::TermCriteria eps=0.01 semantics,
+    Point2DFeatureTracker.cpp criteria): per feature on the pallas engine,
+    batch-wide (all considered features sub-eps) on the batched engine.
 
     ``tmpl_wins``: optional per-level (wins, base) from
     template_windows_pyr(pyr0, uv0, ...) -- the KF-cacheable half of
@@ -374,10 +400,10 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
             s = 2.0 ** lvl
             H_l, W_l = pb[lvl].shape
             # windowed engines need the level image to contain one full
-            # window ((32,256) pallas / (32,32) batched); build_pyramid pads
+            # window ((40,256) pallas / (32,32) batched); build_pyramid pads
             # sub-levels, so this only trips for pyramids built elsewhere
             eng = engine
-            if engine == "pallas" and not (H_l >= 32 and W_l >= 256):
+            if engine == "pallas" and not (H_l >= _PWY and W_l >= _PWX):
                 eng = "gather"
             if engine == "batched" and not (H_l >= _BWY and W_l >= _BWX):
                 eng = "gather"
@@ -388,6 +414,7 @@ def track(pyr0, pyr1, uv0, uv_init, valid0, *, levels: int = 3, radius: int = 7,
                 iters if (lvl == 0 and not is_bwd) else iters_coarse, min_eig,
                 true_hw=dims[lvl], engine=eng,
                 tmpl_win=None if wins_pyr is None else wins_pyr[lvl],
+                eps=eps, conv_mask=valid0,
             )
             ok = ok & ok_l
             if lvl > 0:

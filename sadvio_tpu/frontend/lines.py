@@ -293,8 +293,14 @@ def clip_segment_to_image(a, b, width, height):
 
 
 def triangulate_line(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
-                     ends_a, ends_b):
+                     ends_a, ends_b, cond_min: float = 0.2):
     """3D line segment from two views (plane-intersection, batched).
+
+    ``cond_min``: epipolar-degeneracy conditioning gate on
+    |baseline_hat . plane_normal| (see below).  The line channel uses the
+    0.2 default; the edgelet initializer passes 0.0 because its *position*
+    comes from a separately gated midpoint triangulation and only the
+    plane-intersection direction is consumed here.
 
     The two endpoint rays of view a span a plane with the camera center;
     view b's endpoint rays are intersected with that plane.  Output world
@@ -327,7 +333,7 @@ def triangulate_line(cam_a, cam_b, R_ws_a, t_ws_a, R_ws_b, t_ws_b,
         (jnp.abs(denom) > 1e-4).all(axis=-1)
         & (s > 0.05).all(axis=-1)
         & (nn[..., 0] > 1e-6)
-        & (cond > 0.2)
+        & (cond >= cond_min)
     )
     return pts[..., 0, :], pts[..., 1, :], ok
 

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN_Y = 32  # window rows (origin snapped to the 8-sublane tiling)
+WIN_Y = 40  # window rows (origin snapped to the 8-sublane tiling); 40 rows
+#             place the feature 16-23 rows deep and leave a symmetric ±6-row
+#             drift budget for the 16-row iteration slab at radius<=7 (32
+#             rows clipped the slab after +2 rows of downward drift for
+#             features high in their 8-row bucket -- silently wrong patches)
 WIN_X = 256  # window cols (origin snapped to the 128-lane tiling; 2 tiles
 #              so the patch never sits at a tile boundary)
 
@@ -42,7 +46,7 @@ FEATS = 8  # features per program: amortizes program startup + overlaps DMAs
 
 def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
                win, wscr, wal, sem, *, S: int, iters: int, height: int,
-               width: int):
+               width: int, eps: float):
     """FEATS features per program: pipelined window DMAs, then per-feature
     IC-LK iteration loops out of VMEM.
 
@@ -57,13 +61,13 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
     def origin(f):
         # window origin: tile-aligned (DMA slices must start on the (8,128)
         # tiling), positioned so the feature keeps >=64 lanes margin and
-        # sits ~12-19 rows into the window (the per-iteration 16-row slab
-        # then covers the patch across the whole drift budget)
+        # sits ~16-23 rows into the window (the per-iteration 16-row slab
+        # then covers the patch across a symmetric +-6-row drift budget)
         u0 = uv_ref[f, 0, 0]
         v0 = uv_ref[f, 0, 1]
         ox = jnp.clip(((jnp.floor(u0).astype(jnp.int32) - 64) // 128) * 128,
                       0, max_ox)
-        oy = jnp.clip(((jnp.floor(v0).astype(jnp.int32) - 12) // 8) * 8,
+        oy = jnp.clip(((jnp.floor(v0).astype(jnp.int32) - 16) // 8) * 8,
                       0, max_oy)
         return pl.multiple_of(ox, 128), pl.multiple_of(oy, 8)
 
@@ -144,8 +148,17 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
                 + p10 * (1 - fx) * fy + p11 * fx * fy
             )
 
-        def body(_, carry):
-            u, v, ixp, iyp = carry
+        eps2 = jnp.asarray(eps * eps, u0.dtype)
+
+        def cond(carry):
+            u, v, ixp, iyp, it, step2 = carry
+            # epsilon early exit (cv::TermCriteria eps=0.01 semantics,
+            # Point2DFeatureTracker.cpp criteria); NaN step2 compares False
+            # so divergent features exit instead of spinning
+            return (it < iters) & (step2 > eps2)
+
+        def body(carry):
+            u, v, ixp, iyp, it, _ = carry
             ix, iy, fx, fy = corner_frac(u, v)
             align(ix, iy, ixp, iyp)
             e = patch(fx, fy) - T
@@ -153,10 +166,12 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
             by = jnp.sum(e * gy)
             du = (c * bx - b * by) * inv_det
             dv = (a * by - b * bx) * inv_det
-            return (u - du, v - dv, ix, iy)
+            return (u - du, v - dv, ix, iy, it + 1, du * du + dv * dv)
 
-        u, v, ixp, iyp = jax.lax.fori_loop(
-            0, iters, body, (u0, v0, jnp.int32(-1000), jnp.int32(-1000))
+        u, v, ixp, iyp, _, _ = jax.lax.while_loop(
+            cond, body,
+            (u0, v0, jnp.int32(-1000), jnp.int32(-1000), jnp.int32(0),
+             jnp.asarray(jnp.inf, u0.dtype)),
         )
 
         # final residual for the quality gate
@@ -168,17 +183,21 @@ def _lk_kernel(uv_ref, T_ref, gx_ref, gy_ref, nrm_ref, img_ref, out_ref,
         out_ref[f, 0, 2] = err
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iters", "eps", "interpret"))
 def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
-               interpret: bool = False):
+               eps: float = 0.01, interpret: bool = False):
     """Run the IC-LK iteration loop for all features on one pyramid level.
 
     img1 (H,W); uv_init (N,2); T/gx/gy (N,S,S) template patch + gradients;
     nrm (N,4) = [a, b, c, inv_det] of the 2x2 template normal matrix.
-    Returns (N,3): refined u, v, mean-abs residual.
+    ``iters`` caps the loop; each feature exits when its update step drops
+    below ``eps`` pixels.  Returns (N,3): refined u, v, mean-abs residual.
     """
     N, S, _ = T.shape
     H, W = img1.shape
+    # the 16-row iteration slab must cover an S-row patch plus one bilinear
+    # tap; beyond radius 7 the slab addressing silently samples wrong rows
+    assert S + 1 <= 16, f"klt pallas kernel supports radius<=7 (S={S})"
     # pad the feature axis to a FEATS multiple (padded rows iterate on
     # clipped windows and are discarded by the caller's slice)
     F = FEATS
@@ -189,7 +208,7 @@ def lk_iterate(img1, uv_init, T, gx, gy, nrm, *, iters: int = 10,
         )
         uv_init, T, gx, gy, nrm = map(padn, (uv_init, T, gx, gy, nrm))
     kern = functools.partial(
-        _lk_kernel, S=S, iters=iters, height=H, width=W
+        _lk_kernel, S=S, iters=iters, height=H, width=W, eps=eps
     )
     # small per-feature vectors carry a singleton middle axis so their last
     # two block dims exactly match the array dims (TPU block-mapping rule)

@@ -532,12 +532,13 @@ class StereoSLAM:
         # projection + BRIEF descriptor adopt its archived position, so the
         # map re-uses old structure when the camera revisits it.
         n_gm_res = jnp.zeros((), jnp.int32)
+        gm_pack = None
         if self.cfg.global_map and gm is not None:
             from sadvio_tpu.data import globalmap as gmap
 
             sm0 = detect.smooth3(img0)
             det_desc = detect.brief_describe(sm0, uv_det)
-            lmk_arch, hit_a = gmap.resurrect(
+            lmk_arch, hit_a, src_a = gmap.resurrect(
                 gm, cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0],
                 uv_det, det_desc, v_det,
             )
@@ -550,6 +551,13 @@ class StereoSLAM:
                     LMK_RESURRECTED, mode="drop"),
             )
             n_gm_res = jnp.sum(upd)
+            # loop-closure material: EVERY confident 2D-3D re-association
+            # (not only slot-claiming ones) packed as one host fetch --
+            # [uv(2), archived lmk(3), src KF idx(1), hit(1)] per detection
+            gm_pack = jnp.concatenate([
+                uv_det, lmk_arch, src_a[:, None].astype(jnp.float32),
+                hit_a[:, None].astype(jnp.float32),
+            ], axis=-1)
 
         # 2. stereo track cam0 -> cam1 (trackFeatures cam0->cam1)
         uv1, ok1, _ = klt.track(
@@ -619,7 +627,7 @@ class StereoSLAM:
             sm0 = detect.smooth3(img0)
             desc_new = detect.brief_describe(sm0, new_uv0)
             lmk_desc = jnp.where(new_v0[:, None], desc_new, lmk_desc)
-            return tracks, window, obs, imu_chain, lmk_desc, n_gm_res
+            return tracks, window, obs, imu_chain, lmk_desc, n_gm_res, gm_pack
         return tracks, window, obs, imu_chain
 
     @partial(jax.jit, static_argnames=("self",))
@@ -668,7 +676,7 @@ class StereoSLAM:
 
     @partial(jax.jit, static_argnames=("self", "vio"))
     def _marg_roll(self, window, obs, imu_chain, priors, tracks, vio: bool,
-                   gm=None, lmk_desc=None):
+                   gm=None, lmk_desc=None, arch_idx=None):
         """Marginalize slot 0, shift window left (backEndStep marg branch).
         With global_map, landmarks leaving the map are archived (position +
         BRIEF descriptor) for long-range resurrection (globalmap.cpp)."""
@@ -689,7 +697,8 @@ class StereoSLAM:
         if self.cfg.global_map and gm is not None:
             from sadvio_tpu.data import globalmap as gmap
 
-            gm = gmap.archive(gm, window.lmk, lmk_desc, marg_lmk)
+            gm = gmap.archive(gm, window.lmk, lmk_desc, marg_lmk,
+                              src_idx=arch_idx)
 
         roll = lambda x: jnp.roll(x, -1, axis=0)
         window = window.replace(
@@ -892,7 +901,7 @@ class StereoSLAM:
             )
             if self.global_map_state is not None:
                 (self.tracks, self.window, self.obs, self.imu,
-                 self.lmk_desc, _) = ins
+                 self.lmk_desc, _, _) = ins
             else:
                 self.tracks, self.window, self.obs, self.imu = ins
             self.n_kf = 1
@@ -1018,6 +1027,8 @@ class StereoSLAM:
                 self.window, self.obs, self.imu, self.priors, self.tracks,
                 self.vio and self.vi_initialized,
                 gm=self.global_map_state, lmk_desc=self.lmk_desc,
+                # the KF being rolled out was just appended to archived_kf
+                arch_idx=jnp.int32(len(self.archived_kf) - 1),
             )
             if self.global_map_state is not None:
                 (self.window, self.obs, self.imu, self.priors, self.tracks,
@@ -1052,8 +1063,19 @@ class StereoSLAM:
         )
         if self.global_map_state is not None:
             (self.tracks, self.window, self.obs, self.imu, self.lmk_desc,
-             n_gm_res) = ins
+             n_gm_res, gm_pack) = ins
             out["gm_resurrected"] = int(n_gm_res)
+            # loop closure: a burst of descriptor resurrections is a revisit
+            # signal -- solve PnP of this KF against the archived positions
+            # and emit a pose-graph edge to the archiving keyframe, so
+            # optimize_archive can actually close accumulated drift (the
+            # natural consumer of the globalmap+posegraph pair; the
+            # reference archives but never closes)
+            if (self.cfg.pose_graph and self.archived_kf
+                    and out["gm_resurrected"] >= self._LC_MIN_HITS):
+                lc = self._try_loop_closure(gm_pack, frame.ts, R_new, t_new)
+                if lc is not None:
+                    out["loop_closure"] = lc
         else:
             self.tracks, self.window, self.obs, self.imu = ins
         self.n_kf += 1
@@ -1196,6 +1218,58 @@ class StereoSLAM:
         self.pre_cur = self.pre_cur.replace(
             ba_lin=self.window.ba[k], bg_lin=self.window.bg[k]
         )
+
+    _LC_MIN_HITS = 6  # resurrection burst size that triggers a loop-closure try
+
+    def _try_loop_closure(self, gm_pack, ts_cur, R_cur, t_cur):
+        """Emit a loop-closure pose-graph edge from a resurrection burst.
+
+        gm_pack (M,7): per-detection [uv, archived lmk, src KF idx, hit]
+        from _insert_kf.  Solves PnP of the current keyframe against the
+        archived landmark positions of the DOMINANT source keyframe (those
+        live in the archive's drift-free-at-archive-time gauge), then
+        appends a relative edge (archived KF -> current KF) weighted by the
+        PnP covariance inflated with the frame-rate ESKF covariance.
+        Returns (ts_archived, ts_cur) or None."""
+        pk = np.asarray(gm_pack)
+        hit = pk[:, 6] > 0.5
+        src = pk[:, 5].astype(np.int64)
+        cand = hit & (src >= 0) & (src < len(self.archived_kf))
+        if cand.sum() < self._LC_MIN_HITS:
+            return None
+        vals, counts = np.unique(src[cand], return_counts=True)
+        dom = int(vals[np.argmax(counts)])
+        if counts.max() < self._LC_MIN_HITS:
+            return None
+        mask = jnp.asarray(cand & (src == dom))
+        R_p, t_p, inl, ok, cov = pnp.pnp_ransac(
+            _cam0(self.rig), self.rig.R_f_s[0], self.rig.t_f_s[0],
+            jnp.asarray(pk[:, 2:5], jnp.float32),
+            jnp.asarray(pk[:, 0:2], jnp.float32), mask,
+            R_cur, t_cur, self._next_key(),
+            min_inliers=self._LC_MIN_HITS,
+        )
+        if not bool(ok):
+            return None
+        from sadvio_tpu.backend import posegraph as pg
+
+        ts_a, R_a, t_a = self.archived_kf[dom]
+        R_p = np.asarray(R_p)
+        t_p = np.asarray(t_p)
+        # measured retraction a->current on the SO3xR3 chart
+        # (factors.relative_pose_residual convention)
+        R_rel = R_a.T @ R_p
+        dx = np.concatenate([
+            np.asarray(geo.so3_log(jnp.asarray(R_rel, jnp.float32))),
+            R_a.T @ (t_p - t_a),
+        ])
+        inf = pg.inflate_edge_info(
+            np.linalg.inv(np.asarray(cov) + 1e-9 * np.eye(6)),
+            self.kf_cov[-1] if self.kf_cov else np.zeros((6, 6)),
+            np.zeros((6, 6)),
+        )
+        self.pose_graph_edges.append((ts_a, ts_cur, dx, inf))
+        return (float(ts_a), float(ts_cur))
 
     def optimize_archive(self):
         """Pose-graph optimization over the archived keyframes + the current

@@ -32,7 +32,7 @@ def test_resurrection(rng):
     ], -1), jnp.float32)
     desc = jnp.asarray(rng.integers(0, 2**31, (L, 8)), jnp.uint32)
     gm = gmod.GlobalMap.create(capacity=64)
-    gm = gmod.archive(gm, pts, desc, jnp.ones(L, bool))
+    gm = gmod.archive(gm, pts, desc, jnp.ones(L, bool), src_idx=jnp.int32(3))
 
     # current view at identity; detections = true projections of first 10
     uv, vis = cameras.project_world(
@@ -40,7 +40,7 @@ def test_resurrection(rng):
     )
     det_uv = uv[:10] + 1.0  # detector jitter within the search box
     det_desc = desc[:10]
-    lmk, hit = gmod.resurrect(
+    lmk, hit, src = gmod.resurrect(
         gm, cam, jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
         det_uv, det_desc, jnp.ones(10, bool),
     )
@@ -49,10 +49,12 @@ def test_resurrection(rng):
     np.testing.assert_allclose(
         np.asarray(lmk)[h], np.asarray(pts[:10])[h], atol=1e-6
     )
+    # provenance: every hit carries the archiving-KF index
+    assert (np.asarray(src)[h] == 3).all()
 
     # detections with unknown descriptors must not resurrect
     bad_desc = jnp.asarray(rng.integers(0, 2**31, (10, 8)), jnp.uint32)
-    _, hit2 = gmod.resurrect(
+    _, hit2, _ = gmod.resurrect(
         gm, cam, jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
         det_uv, bad_desc, jnp.ones(10, bool),
     )
