@@ -32,10 +32,33 @@ def _require_rclpy():
             "environments drive OnlineProvider directly") from e
 
 
+def decode_compressed(data) -> np.ndarray:
+    """Decode a compressed image payload (PNG/JPEG bytes) to float32 gray.
+
+    Middleware-agnostic half of the CompressedImage subscription
+    (sensorSubscriber.h handles raw AND compressed topics; the reference
+    decodes via cv::imdecode).  Pillow is the decoder here; color frames
+    collapse to the channel mean like the raw path."""
+    import io
+
+    from PIL import Image as PILImage
+
+    img = np.asarray(PILImage.open(io.BytesIO(bytes(data))))
+    if img.ndim == 3:
+        img = img.mean(-1)
+    return img.astype(np.float32)
+
+
 def make_sensor_node(node, provider: OnlineProvider, *, cam_topics,
-                     imu_topic: str):  # pragma: no cover - needs rclpy
-    """Wire ROS subscriptions into the provider (sensorSubscriber.h:75-188)."""
-    from sensor_msgs.msg import Image, Imu
+                     imu_topic: str,
+                     compressed=False):  # pragma: no cover - needs rclpy
+    """Wire ROS subscriptions into the provider (sensorSubscriber.h:75-188).
+
+    ``compressed``: bool or per-camera sequence of bools -- subscribe the
+    corresponding topic as sensor_msgs/CompressedImage (payload decoded by
+    ``decode_compressed``) instead of raw Image.
+    """
+    from sensor_msgs.msg import CompressedImage, Image, Imu
 
     def on_image(cam):
         def cb(msg):
@@ -49,8 +72,20 @@ def make_sensor_node(node, provider: OnlineProvider, *, cam_topics,
             provider.push_image(cam, ts, img.astype(np.float32))
         return cb
 
-    subs = [node.create_subscription(Image, t, on_image(c), 10)
-            for c, t in enumerate(cam_topics)]
+    def on_compressed(cam):
+        def cb(msg):
+            ts = msg.header.stamp.sec + 1e-9 * msg.header.stamp.nanosec
+            provider.push_image(cam, ts, decode_compressed(msg.data))
+        return cb
+
+    if isinstance(compressed, bool):
+        compressed = [compressed] * len(cam_topics)
+    subs = [
+        node.create_subscription(CompressedImage, t, on_compressed(c), 10)
+        if compressed[c]
+        else node.create_subscription(Image, t, on_image(c), 10)
+        for c, t in enumerate(cam_topics)
+    ]
 
     def on_imu(msg):
         ts = msg.header.stamp.sec + 1e-9 * msg.header.stamp.nanosec

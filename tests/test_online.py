@@ -72,3 +72,33 @@ def test_visualizer_hub_fanout():
     hub.publish_keyframe(R=np.eye(3), t=np.asarray([1.0, 0, 0]),
                          traj=np.zeros((5, 3)))
     assert ("pose", 1.0) in seen and ("traj", 5) in seen
+
+
+def test_decode_compressed_png_jpeg():
+    """CompressedImage payload decoding (sensorSubscriber.h compressed
+    path): PNG round-trips bit-exact to the gray source; JPEG stays close.
+    Color payloads collapse to the channel mean like the raw path."""
+    import io
+
+    from PIL import Image as PILImage
+
+    from sadvio_tpu.ros2_node import decode_compressed
+
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 255, (32, 48), np.uint8)
+    buf = io.BytesIO()
+    PILImage.fromarray(gray).save(buf, format="PNG")
+    out = decode_compressed(buf.getvalue())
+    assert out.dtype == np.float32 and out.shape == (32, 48)
+    np.testing.assert_array_equal(out, gray.astype(np.float32))
+
+    buf = io.BytesIO()
+    PILImage.fromarray(gray).save(buf, format="JPEG", quality=92)
+    out_j = decode_compressed(buf.getvalue())
+    assert np.abs(out_j - gray).mean() < 4.0
+
+    rgb = rng.integers(0, 255, (8, 8, 3), np.uint8)
+    buf = io.BytesIO()
+    PILImage.fromarray(rgb).save(buf, format="PNG")
+    out_c = decode_compressed(buf.getvalue())
+    np.testing.assert_allclose(out_c, rgb.astype(np.float32).mean(-1))
