@@ -47,6 +47,8 @@ def save_slam(path: str, slam) -> None:
         "imu_n": slam._imu_n,
         "n_resets": slam.n_resets,
         "kf_ts": list(slam.kf_ts),
+        "kf_cov": [np.asarray(c).tolist() for c in slam.kf_cov],
+        "cov_h": np.asarray(slam._cov_h).tolist(),
         "ba_h": np.asarray(slam._ba_h).tolist(),
         "bg_h": np.asarray(slam._bg_h).tolist(),
         "successive_fails": slam.successive_fails,
@@ -105,6 +107,12 @@ def load_slam(path: str, slam) -> None:
     slam._imu_n = int(meta.get("imu_n", 0))
     slam.n_resets = int(meta.get("n_resets", 0))
     slam.kf_ts = list(meta.get("kf_ts", []))
+    # per-KF frame covariances feed NFR edge weighting + loop closure; a
+    # checkpoint from before they were saved restores zeros (neutral weight)
+    kf_cov = meta.get("kf_cov")
+    slam.kf_cov = ([np.asarray(c) for c in kf_cov] if kf_cov is not None
+                   else [np.zeros((6, 6)) for _ in slam.kf_ts])
+    slam._cov_h = np.asarray(meta.get("cov_h", np.zeros((6, 6))))
     slam._ba_h = np.asarray(meta.get("ba_h", [0.0] * 3))
     slam._bg_h = np.asarray(meta.get("bg_h", [0.0] * 3))
     slam.successive_fails = int(meta["successive_fails"])

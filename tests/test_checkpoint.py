@@ -50,6 +50,11 @@ def test_checkpoint_resume_identical(world, tmp_path):
     assert b._have_priors == a._have_priors
     assert b.kf_ts == a.kf_ts
     assert len(b.archived_kf) == len(a.archived_kf)
+    # per-KF covariances stay aligned with kf_ts across resume (they weight
+    # NFR pose-graph edges; a truncated list crashes the roll path)
+    assert len(b.kf_cov) == len(b.kf_ts)
+    np.testing.assert_allclose(np.asarray(b.kf_cov), np.asarray(a.kf_cov),
+                               atol=1e-7)
 
 
 def test_run_logging(world, tmp_path):
