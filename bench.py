@@ -40,6 +40,50 @@ REPS = 3
 PROTOCOL = "two-point-slope-v2"
 
 
+def _fin(x):
+    """Masked mesh/track outputs legitimately carry NaN/inf rows; reduce to
+    a finite scalar so scan carries stay finite."""
+    return jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0))
+
+
+def scan_slope(make_scalar, n_a=4, n_b=20, carry0=None):
+    """Time a kernel by chaining evaluations inside ONE jitted lax.scan per
+    length -- a single tunnel dispatch each, immune to the multi-dispatch
+    scheduling noise that made per-call chains swing 2.5 -> 27 ms between
+    runs; the two-length slope cancels the fixed ~30 ms value fetch.
+
+    make_scalar(aux, eps) -> (aux, scalar): aux is an optional pytree carry
+    (evolving state like TrackState), eps a tiny scalar dependency link.
+    """
+
+    def runner(n):
+        def run(x0):
+            def body(carry, _):
+                aux, e = carry
+                aux, s = make_scalar(aux, e)
+                return (aux, e + 1e-12 * s), ()
+
+            (aux, out), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), None,
+                                         length=n)
+            return out
+
+        return jax.jit(run)
+
+    r_a, r_b = runner(n_a), runner(n_b)
+
+    def timed(r):
+        t0 = time.perf_counter()
+        s = float(np.asarray(r(carry0)))
+        assert np.isfinite(s), f"non-finite scan carry: {s}"
+        return time.perf_counter() - t0
+
+    timed(r_a), timed(r_b)  # compile + warm
+    dt_a = min(timed(r_a) for _ in range(REPS))
+    dt_b = min(timed(r_b) for _ in range(REPS))
+    assert dt_b > dt_a, f"non-monotone scan timings: {dt_a:.4f}s vs {dt_b:.4f}s"
+    return (dt_b - dt_a) * 1000.0 / (n_b - n_a)
+
+
 def bench_ba():
     from __graft_entry__ import _tiny_problem
     from sadvio_tpu.backend import ba
@@ -96,26 +140,17 @@ def bench_klt(world, slam):
               jnp.asarray([-0.8, 0.6], jnp.float32),
               jnp.asarray([0.5, 1.0], jnp.float32)]
 
-    def chain(n):
-        uv = uv0
-        for k in range(n):
-            seed = uv0 + deltas[k % 3] + 1e-12 * uv.sum()
-            uv, ok, _ = klt.track(
-                slam.kf_pyr[0], pyr[0], uv0, seed, valid,
-                levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius,
-                engine=slam.klt_engine, tmpl_wins=tmpl)
-        return uv
+    dstack = jnp.stack(deltas)
 
-    def timed(n):
-        t0 = time.perf_counter()
-        s = float(np.asarray(chain(n)).sum())
-        return time.perf_counter() - t0
+    def step(k, e):
+        seed = uv0 + dstack[k % 3] + e
+        uv, ok, _ = klt.track(
+            slam.kf_pyr[0], pyr[0], uv0, seed, valid,
+            levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius,
+            engine=slam.klt_engine, tmpl_wins=tmpl)
+        return k + 1, _fin(uv)
 
-    float(np.asarray(chain(1)).sum())
-    dt_a = min(timed(2) for _ in range(REPS))
-    dt_b = min(timed(8) for _ in range(REPS))
-    assert dt_b > dt_a
-    return (dt_b - dt_a) * 1000.0 / 6
+    return scan_slope(step, carry0=jnp.int32(0))
 
 
 def bench_mesh(world, slam):
@@ -166,47 +201,11 @@ def bench_mesh(world, slam):
             height=int(H), width=int(W), max_depth=12.0)
         return pts
 
-    def slope(chain_fn, n_a, n_b):
-        def timed(n):
-            t0 = time.perf_counter()
-            s = float(np.asarray(chain_fn(n)).sum())
-            return time.perf_counter() - t0
-
-        float(np.asarray(chain_fn(1)).sum())  # compile + warm
-        dt_a = min(timed(n_a) for _ in range(REPS))
-        dt_b = min(timed(n_b) for _ in range(REPS))
-        assert dt_b > dt_a
-        return (dt_b - dt_a) * 1000.0 / (n_b - n_a)
-
-    def chain_total(n):
-        img = img0
-        out = None
-        for _ in range(n):
-            out = one(img)
-            img = img0 + 1e-12 * out.sum()  # dependency link
-        return out
-
-    def chain_zncc(n):
-        img = img0
-        out = None
-        for _ in range(n):
-            out = one_zncc(img)
-            img = img0 + 1e-12 * out.sum()
-        return out
-
-    def chain_ray(n):
-        pl = lmk
-        out = None
-        for _ in range(n):
-            out = one_ray(pl)
-            pl = lmk + 1e-12 * out.sum()
-        return out
-
     # attributable breakdown: each submetric maps to ONE probe (zncc,
     # raycast) plus the combined per-KF chain they ride in production
-    total = slope(chain_total, 2, 6)
-    zncc = slope(chain_zncc, 2, 6)
-    ray = slope(chain_ray, 2, 6)
+    total = scan_slope(lambda aux, e: (aux, _fin(one(img0 + e))))
+    zncc = scan_slope(lambda aux, e: (aux, _fin(one_zncc(img0 + e))))
+    ray = scan_slope(lambda aux, e: (aux, _fin(one_ray(lmk + e))))
     return total, zncc, ray
 
 
@@ -233,26 +232,12 @@ def bench_frame_device(world, slam):
             v_pred=v_pred)
         return tracks, health
 
-    def chain(n):
-        tracks = slam.tracks
-        health = None
-        img = img_dev
-        for _ in range(n):
-            tracks, health = link(tracks, img)
-            img = img_dev + (health[0] * 0).astype(img_dev.dtype)
-        return health
+    def step(tracks, e):
+        img = (img_dev.astype(jnp.float32) + e).astype(img_dev.dtype)
+        tracks, health = link(tracks, img)
+        return tracks, _fin(health)
 
-    def timed(n):
-        t0 = time.perf_counter()
-        s = float(np.asarray(chain(n)).sum())
-        assert np.isfinite(s)
-        return time.perf_counter() - t0
-
-    float(np.asarray(chain(1)).sum())
-    dt_a = min(timed(2) for _ in range(REPS))
-    dt_b = min(timed(8) for _ in range(REPS))
-    assert dt_b > dt_a
-    return (dt_b - dt_a) * 1000.0 / 6
+    return scan_slope(step, carry0=slam.tracks)
 
 
 def bench_e2e():
