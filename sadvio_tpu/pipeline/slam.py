@@ -607,13 +607,19 @@ class StereoSLAM:
         )
         idx = jnp.maximum(slot - 1, 0)
         write = slot > 0
+        # >1 s inter-KF gaps drop the IMU factor (AOptimizer.cpp:68-70: the
+        # preintegrated noise over such a stretch is useless as a constraint;
+        # the dt>1 s forced keyframe bounds FUTURE intervals, and like the
+        # reference the overlong factor itself is skipped)
+        gap_ok = (ts - window.ts[idx]) <= 1.0
         imu_chain = imu_chain.replace(
             pre=jax.tree.map(
                 lambda a, b: a.at[idx].set(jnp.where(write, b, a[idx])),
                 imu_chain.pre, pre_cur,
             ),
             mask=imu_chain.mask.at[idx].set(
-                jnp.where(write, pre_cur.dt > 1e-6, imu_chain.mask[idx])
+                jnp.where(write, (pre_cur.dt > 1e-6) & gap_ok,
+                          imu_chain.mask[idx])
             ),
         )
         tracks = TrackState(

@@ -122,3 +122,44 @@ def test_time_forced_keyframe_vio():
     # survives (finite pose)
     assert any(k for k, _ in kfs), kfs
     assert np.isfinite(np.asarray(slam.t_cur)).all()
+
+
+def test_imu_factor_gap_gate():
+    """An inter-KF gap > 1 s masks out its IMU preintegration factor
+    (AOptimizer.cpp:68-70): the accumulated noise over such a stretch is
+    useless as a constraint; the window BA must not consume it."""
+    import jax.numpy as jnp
+
+    world = synthetic.make_world(seed=3, n_frames=16, width=320, height=240,
+                                 n_points=200, imu_noise=False)
+    cfg = dataclasses.replace(base_cfg(), slam_mode="bimonovio")
+    slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
+    for f in world.frames:
+        slam.process_frame(f)
+    slot_before = slam.n_kf
+
+    # one frame 1.3 s later (a sensor dropout): its forced KF appears but
+    # the overlong IMU factor is dropped
+    last = world.frames[-1]
+    R_last = world.gt_R[-1]
+    acc_still = (R_last.T @ np.array([0.0, 0.0, 9.81])).astype(np.float32)
+    n = 260  # 1.3 s at 200 Hz
+    f = synthetic.FrameData(
+        ts=last.ts + 1.3, images=last.images,
+        acc=np.tile(acc_still, (n, 1)),
+        gyr=np.zeros((n, 3), np.float32),
+        dt=np.full((n,), 1.0 / 200.0, np.float32),
+    )
+    out = slam.process_frame(f)
+    assert out["is_kf"]  # dt > 1 s forces the KF
+    idx = slam.n_kf - 2  # factor between the previous KF and this one
+    assert not bool(slam.imu.mask[idx]), "overlong IMU factor not masked"
+    # a normal-rate follow-up restores masked=True factors
+    f2 = synthetic.FrameData(
+        ts=last.ts + 1.3 + 0.3, images=last.images,
+        acc=np.tile(acc_still, (60, 1)),
+        gyr=np.zeros((60, 3), np.float32),
+        dt=np.full((60,), 1.0 / 200.0, np.float32),
+    )
+    slam.process_frame(f2)
+    assert np.isfinite(np.asarray(slam.t_cur)).all()
