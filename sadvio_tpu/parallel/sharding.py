@@ -83,10 +83,15 @@ def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
     rig = jax.tree.map(lambda x: jax.device_put(x, rep), problem.rig)
     imu = jax.tree.map(lambda x: jax.device_put(x, rep), problem.imu)
     priors = jax.tree.map(lambda x: jax.device_put(x, rep), problem.priors)
+    # line landmarks stay replicated: M is small (tens) and their residual
+    # rows enter the dense (replicated) system, not the sharded Schur path
+    lines = (None if problem.lines is None else
+             jax.tree.map(lambda x: jax.device_put(x, rep), problem.lines))
     return ba.BAProblem(
         state, obs, rig, imu, priors,
         jax.device_put(problem.fixed_mask, rep),
         jax.device_put(problem.opt_lmk_only, rep),
+        lines=lines,
     )
 
 
