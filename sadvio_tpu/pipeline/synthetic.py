@@ -168,11 +168,28 @@ def _render_segments(img, rig, c, R_k, t_k, segs, thickness=1.3, amp=150.0):
     return np.clip(out, 0.0, 255.0).astype(np.float32)
 
 
-def _trajectory(t, rot_scale=1.0):
+def _trajectory(t, rot_scale=1.0, mode="default"):
     """Analytic trajectory (f64): lateral sweep + gentle bob, looking at +z.
 
     rot_scale scales the rotational excitation (rotation-rich trajectories
-    make accel bias observable against the gravity-tilt degeneracy)."""
+    make accel bias observable against the gravity-tilt degeneracy).
+
+    mode="excursion": pan out 2.2 m to the right with a co-directed yaw and
+    come back -- the start-of-run landmarks leave the field of view
+    mid-excursion (their window observations roll out, so with global_map
+    they are archived), and the return is a genuine revisit that exercises
+    descriptor resurrection + loop closure."""
+    if mode == "excursion":
+        T = max(float(t[-1]), 1e-6)
+        s = np.sin(np.pi * t / T)
+        p = np.stack([
+            2.2 * s,
+            0.12 * np.sin(0.9 * t + 0.7),
+            0.08 * np.sin(0.7 * t),
+        ], -1)
+        yaw = 0.5 * s
+        pitch = 0.04 * np.sin(0.8 * t + 1.0)
+        return p, yaw, pitch
     p = np.stack([
         0.8 * np.sin(0.5 * t),
         0.4 * np.sin(0.3 * t + 0.7),
@@ -197,7 +214,8 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
                acc_bias=None, gyr_bias=None, rot_scale=1.0,
                gain_jitter=0.0, offset_jitter=0.0,
                occluder=False, camera="pinhole",
-               n_lines=0) -> SyntheticWorld:
+               n_lines=0, trajectory="default",
+               wall_x=(-5.0, 5.0)) -> SyntheticWorld:
     """acc_bias/gyr_bias: optional constant (3,) sensor biases added to the
     IMU measurements -- the estimator should recover them (the reference's
     imu_test.cpp biasEstimation pattern).
@@ -220,9 +238,10 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     # scene: wall of blobs at z in [4, 9] on a jittered grid -- guaranteed
     # angular separation so blob peaks don't merge (merged Gaussians shift
     # their apparent peak with viewpoint, biasing KLT systematically)
-    gx = int(np.ceil(np.sqrt(n_points * 10.0 / 7.0)))
+    span_x = wall_x[1] - wall_x[0]
+    gx = int(np.ceil(np.sqrt(n_points * span_x / 7.0)))
     gy = int(np.ceil(n_points / gx))
-    xs = np.linspace(-5, 5, gx)
+    xs = np.linspace(wall_x[0], wall_x[1], gx)
     ys = np.linspace(-3.5, 3.5, gy)
     gxx, gyy = np.meshgrid(xs, ys)
     cell = np.array([xs[1] - xs[0], ys[1] - ys[0]])
@@ -244,7 +263,7 @@ def make_world(seed=0, n_frames=80, fps=20.0, imu_rate=200.0,
     dt_imu = 1.0 / imu_rate
     T = n_frames
     t_dense = np.arange(T * n_sub + 1) * dt_imu
-    p_d, yaw_d, pitch_d = _trajectory(t_dense, rot_scale)
+    p_d, yaw_d, pitch_d = _trajectory(t_dense, rot_scale, mode=trajectory)
     R_d = np.stack([_rot(y, pp) for y, pp in zip(yaw_d, pitch_d)])
     v_d = np.gradient(p_d, dt_imu, axis=0)
     a_d = np.gradient(v_d, dt_imu, axis=0)
