@@ -897,10 +897,23 @@ class StereoSLAM:
         out = {"ts": frame.ts, "is_kf": False, "ok": True}
         if not self.initialized:
             R0 = self._gravity_align_init(frame) if self.vio else jnp.eye(3)
-            self.R_cur = R0
+            t0 = jnp.zeros(3)
+            # relocalization after a tracking failure (beyond reference:
+            # the reference's reset restarts the gauge at the origin even
+            # when the archived map could re-anchor it).  reset() keeps the
+            # global map and the last pose estimate; if enough archived
+            # landmarks re-associate around that pose, the bootstrap
+            # keyframe continues the ORIGINAL gauge instead of re-zeroing.
+            if (self.cfg.global_map and self.n_resets > 0
+                    and self.global_map_state is not None):
+                rl = self._try_relocalize(pyr_new[0][0])
+                if rl is not None:
+                    R0, t0 = rl
+                    out["relocalized"] = True
+            self.R_cur, self.t_cur = R0, t0
             ins = self._insert_kf(
                 pyr_new, self.tracks, self.window, self.obs, self.imu,
-                self.pre_cur, R0, jnp.zeros(3), jnp.zeros(3),
+                self.pre_cur, R0, t0, jnp.zeros(3),
                 jnp.float32(frame.ts), self._next_key(), 0,
                 ext_det=self._csv_det(frame),
                 gm=self.global_map_state, lmk_desc=self.lmk_desc,
@@ -918,12 +931,12 @@ class StereoSLAM:
             self.initialized = True
             self.kf_ts.append(frame.ts)
             self.kf_cov.append(np.zeros((6, 6)))
-            self.kf_traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
-            self.traj.append((frame.ts, np.asarray(R0), np.zeros(3)))
+            self.kf_traj.append((frame.ts, np.asarray(R0), np.asarray(t0)))
+            self.traj.append((frame.ts, np.asarray(R0), np.asarray(t0)))
             out["is_kf"] = True
             if self._line_ch is not None:
                 out.update(self._line_ch.on_keyframe_pre_ba(
-                    pyr_new[0][0], pyr_new[1][0], R0, jnp.zeros(3),
+                    pyr_new[0][0], pyr_new[1][0], R0, t0,
                     jnp.int32(0)))
             return out
 
@@ -1231,6 +1244,55 @@ class StereoSLAM:
 
     _LC_MIN_HITS = 6  # resurrection burst size that triggers a loop-closure try
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _reloc_probe(self, img0, gm, R_seed, t_seed):
+        """Detect fresh features and re-associate them against the archive
+        around the seed pose (wide search box: the pose drifted during the
+        failure).  Returns (M,6) pack [uv(2), archived lmk(3), hit(1)]."""
+        from sadvio_tpu.data import globalmap as gmap
+
+        cam0 = _cam0(self.rig)
+        L = self.caps.L
+        uv_det, s_det, v_det = detect.detect_features(
+            img0, existing_uv=jnp.zeros((L, 2)),
+            existing_valid=jnp.zeros((L,), bool),
+            gh=8, gw=10, k_per_cell=max(1, self.cfg.features[0].n_per_cell),
+        )
+        sm0 = detect.smooth3(img0)
+        det_desc = detect.brief_describe(sm0, uv_det)
+        lmk_arch, hit, _src = gmap.resurrect(
+            gm, cam0, R_seed, t_seed, self.rig.R_f_s[0], self.rig.t_f_s[0],
+            uv_det, det_desc, v_det, search_px=25.0,
+        )
+        return jnp.concatenate([
+            uv_det, lmk_arch, hit[:, None].astype(jnp.float32)], axis=-1)
+
+    def _try_relocalize(self, img0):
+        """Re-anchor the post-reset bootstrap pose against the archived map.
+
+        Local relocalization: the last pose estimate (kept across reset())
+        seeds both the archive projection search and the PnP warm start --
+        the recovery scenario is tracking loss from occlusion/blur with the
+        camera still near its last estimate, not the kidnapped-robot
+        problem.  Returns (R0, t0) in the ORIGINAL gauge, or None."""
+        pk = np.asarray(self._reloc_probe(
+            img0, self.global_map_state, self.R_cur, self.t_cur))
+        hit = pk[:, 5] > 0.5
+        if hit.sum() < self._LC_MIN_HITS:
+            return None
+        R_p, t_p, inl, ok, cov = pnp.pnp_ransac(
+            _cam0(self.rig), self.rig.R_f_s[0], self.rig.t_f_s[0],
+            jnp.asarray(pk[:, 2:5], jnp.float32),
+            jnp.asarray(pk[:, 0:2], jnp.float32), jnp.asarray(hit),
+            self.R_cur, self.t_cur, self._next_key(),
+            min_inliers=self._LC_MIN_HITS, inlier_px=3.0,
+        )
+        n_inl = int(jnp.sum(inl))
+        if not bool(ok) or n_inl < max(self._LC_MIN_HITS,
+                                       int(0.5 * hit.sum())):
+            return None
+        return jnp.asarray(np.asarray(R_p)), jnp.asarray(np.asarray(t_p))
+
     def _try_loop_closure(self, gm_pack, ts_cur, R_cur, t_cur):
         """Emit a loop-closure pose-graph edge from a resurrection burst.
 
@@ -1340,6 +1402,24 @@ class StereoSLAM:
         return [(ts_list[i], Rn[i], tn[i]) for i in range(len(nodes))]
 
     def reset(self):
+        # push the live local map into the global archive before wiping:
+        # the freshest good landmarks are exactly what a post-failure
+        # relocalization needs (globalmap addFrame role at failure time).
+        # The window keyframes join the archived trajectory so the pose
+        # graph keeps their nodes, and the archived landmarks anchor at the
+        # last of them for loop-closure provenance.
+        if (self.cfg.global_map and self.global_map_state is not None
+                and self.n_kf > 0):
+            from sadvio_tpu.data import globalmap as gmap
+
+            for j, ts in enumerate(self.kf_ts):
+                pk = np.asarray(
+                    self._pack_pose(self.window.R[j], self.window.t[j]))
+                self.archived_kf.append((ts, pk[:9].reshape(3, 3), pk[9:]))
+            self.global_map_state = gmap.archive(
+                self.global_map_state, self.window.lmk, self.lmk_desc,
+                self.window.lmk_mask,
+                src_idx=jnp.int32(len(self.archived_kf) - 1))
         K, L, P = self.caps.K, self.caps.L, self.caps.P
         C = self.rig.C
         self.window = WindowState.create(K, L)

@@ -61,3 +61,37 @@ def test_revisit_loop_closure_reduces_drift():
         f"loop closure did not close drift: {err_opt[-1]:.4f} vs "
         f"{err_raw[-1]:.4f}")
     assert np.mean(err_opt) < np.mean(err_raw)
+
+
+def test_relocalization_after_reset_keeps_gauge():
+    """Tracking failure (occluded frames) -> reset -> the bootstrap KF
+    relocalizes against the archived global map and CONTINUES the original
+    gauge instead of re-zeroing at the origin (beyond reference: the
+    reference's reset always restarts the world frame)."""
+    world = synthetic.make_world(seed=7, n_frames=40, width=320, height=240,
+                                 n_points=220, imu_noise=False)
+    cfg = SLAMConfig(
+        slam_mode="bimono", max_kf_number=5, min_lmk_number=25,
+        max_movement_parallax=1.0, min_movement_parallax=0.02,
+        marginalization=True, sparsification=True,
+        global_map=True, pose_graph=True,
+        caps=Capacities(K=6, L=200, P=24, pyr_levels=3, klt_radius=5),
+    )
+    slam = StereoSLAM(world.rig, cfg)
+    relocalized = False
+    for i, f in enumerate(world.frames):
+        if 20 <= i < 26:  # 6 black frames: > 5 consecutive PnP failures
+            f = f._replace(images=np.zeros_like(f.images))
+        out = slam.process_frame(f)
+        relocalized |= out.get("relocalized", False)
+    assert slam.n_resets >= 1, "occlusion did not trigger a reset"
+    assert relocalized, "bootstrap did not relocalize against the archive"
+
+    # post-recovery trajectory stays in the ORIGINAL gauge: compare the
+    # final estimate against ground truth expressed in the first frame's
+    # gauge.  Without relocalization the gauge re-zeros at frame ~27 and
+    # the error would be ~|t_gt(27)| (decimeters).
+    R0, t0 = world.gt_R[0], world.gt_t[0]
+    gt_last = R0.T @ (world.gt_t[len(world.frames) - 1] - t0)
+    err = np.linalg.norm(np.asarray(slam.t_cur) - gt_last)
+    assert err < 0.12, f"post-recovery gauge error {err:.3f} m"
