@@ -202,10 +202,16 @@ def bench_mesh(world, slam):
         return pts
 
     # attributable breakdown: each submetric maps to ONE probe (zncc,
-    # raycast) plus the combined per-KF chain they ride in production
-    total = scan_slope(lambda aux, e: (aux, _fin(one(img0 + e))))
-    zncc = scan_slope(lambda aux, e: (aux, _fin(one_zncc(img0 + e))))
-    ray = scan_slope(lambda aux, e: (aux, _fin(one_ray(lmk + e))))
+    # raycast) plus the combined per-KF chain they ride in production.
+    # These kernels are sub-millisecond, so the scans are long enough that
+    # the compute delta clears the ~10 ms run-to-run variance of the fixed
+    # fetch cost (short scans made the slope non-monotone)
+    total = scan_slope(lambda aux, e: (aux, _fin(one(img0 + e))),
+                       n_a=8, n_b=72)
+    zncc = scan_slope(lambda aux, e: (aux, _fin(one_zncc(img0 + e))),
+                      n_a=8, n_b=72)
+    ray = scan_slope(lambda aux, e: (aux, _fin(one_ray(lmk + e))),
+                     n_a=8, n_b=72)
     return total, zncc, ray
 
 
@@ -260,13 +266,24 @@ def bench_e2e():
         caps=Capacities(K=11, L=512, P=48, pyr_levels=4, klt_radius=5))
     slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
     slam.run(frames[:15])  # warm phase compiles every stage kernel
+    # measured phase: the production prefetch loop, timed PER FRAME so the
+    # median is robust to tunnel-load stalls (the single-shot mean swung
+    # 101 -> 210 ms between runs purely with background tunnel state)
+    per_frame = []
+    tail = frames[15:]
+    pending = slam._upload_images(tail[0])
     t0 = time.perf_counter()
-    slam.run(frames[15:])
+    for i, f in enumerate(tail):
+        tf = time.perf_counter()
+        nxt = tail[i + 1] if i + 1 < len(tail) else None
+        slam.process_frame(f, images_dev=pending, prefetch_frame=nxt)
+        pending = slam._prefetched
+        per_frame.append((time.perf_counter() - tf) * 1000.0)
     jax.block_until_ready(slam.t_cur)
+    wall_ms = (time.perf_counter() - t0) * 1000.0 / len(tail)
     est = np.asarray([t for _, _, t in slam.traj])
-    wall_ms = (time.perf_counter() - t0) * 1000.0 / len(frames[15:])
     ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
-    return ate * 1000.0, wall_ms, slam, world
+    return ate * 1000.0, wall_ms, float(np.median(per_frame)), slam, world
 
 
 def main():
@@ -275,9 +292,10 @@ def main():
 
     slam = world = None
     try:
-        ate_mm, wall_ms, slam, world = bench_e2e()
+        ate_mm, wall_ms, med_ms, slam, world = bench_e2e()
         sub["e2e_synth_ate_mm"] = round(ate_mm, 3)
         sub["e2e_wall_ms_per_frame"] = round(wall_ms, 2)
+        sub["e2e_wall_ms_median"] = round(med_ms, 2)
     except Exception as e:  # pragma: no cover - fault isolation
         sub["e2e_error"] = str(e)[:120]
     if slam is not None:
