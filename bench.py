@@ -13,7 +13,7 @@ an end-to-end synthetic stereo-VIO run (ATE + wall-clock per frame at EuRoC
 shapes).  Each section is independently fault-isolated: a failure nulls its
 entry instead of killing the bench.
 
-Measurement protocol "two-point-slope-v2" (tunneled-TPU safe): the device
+Measurement protocol "two-point-slope-v3-scan" (tunneled-TPU safe): the device
 plugin here can return from block_until_ready without having executed, so
 timings are forced by a VALUE fetch, and repeated ops are DEPENDENCY-CHAINED
 (call k+1 consumes call k's output) so fetching the final value provably
@@ -37,7 +37,7 @@ ITERS = 20
 CHAIN_A = 5
 CHAIN_B = 20
 REPS = 3
-PROTOCOL = "two-point-slope-v2"
+PROTOCOL = "two-point-slope-v3-scan"
 
 
 def _fin(x):

@@ -190,7 +190,7 @@ class MonoSLAM(StereoSLAM):
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks, window, obs, imu_chain, pre_cur,
                    R_kf, t_kf, v_kf, ts, key, slot, ext_det=None,
-                   gm=None, lmk_desc=None):
+                   gm=None, lmk_desc=None, imu_gap_ok=True):
         # ext_det (csv) and gm/lmk_desc (descriptor global map) are
         # stereo-pipeline features; accepted but unused here
         cam0 = _cam0(self.rig)
@@ -261,7 +261,9 @@ class MonoSLAM(StereoSLAM):
                 imu_chain.pre, pre_cur,
             ),
             mask=imu_chain.mask.at[idx].set(
-                jnp.where(write, pre_cur.dt > 1e-6, imu_chain.mask[idx])
+                jnp.where(write,
+                          (pre_cur.dt > 1e-6) & jnp.asarray(imu_gap_ok),
+                          imu_chain.mask[idx])
             ),
         )
 

@@ -113,6 +113,7 @@ class StereoSLAM:
         self.vio_init_kfs = min(10, self.caps.K - 1)  # ref: 10-KF bootstrap
         self._vi_opt_scale = False  # monocular subclass solves scale too
         self.successive_fails = 0
+        self._lc_diag = (0, 0, False)  # (candidates, inliers, pnp_ok)
         self.n_resets = 0  # re-initialization count (failure recovery)
         self.traj = []  # (ts, R, t) at frame rate
         self.kf_traj = []
@@ -452,7 +453,7 @@ class StereoSLAM:
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
                    pre_cur, R_kf, t_kf, v_kf, ts, key, slot, ext_det=None,
-                   gm=None, lmk_desc=None):
+                   gm=None, lmk_desc=None, imu_gap_ok=True):
         """Insert keyframe at (dynamic) slot: detect, stereo-track,
         triangulate, write observation rows (slamBiMonoVIO.cpp:481-538).
 
@@ -462,7 +463,13 @@ class StereoSLAM:
 
         ext_det: optional (uv (M,2), valid (M,)) precomputed keypoints
         replacing the detector (the reference's cvCSVFeatureDetector path,
-        csvKeypointDetector.cpp)."""
+        csvKeypointDetector.cpp).
+
+        imu_gap_ok: traced bool -- False masks out this keyframe's IMU
+        factor (>1 s inter-KF gap, AOptimizer.cpp:68-70).  Computed on the
+        HOST in float64: epoch-scale timestamps (~1.4e9 s on EuRoC/ROS)
+        quantize to 128 s steps in the device's float32 ts chain, so a
+        device-side subtraction cannot resolve a 1 s threshold."""
         cam0 = _cam0(self.rig)
         cam1 = _cam(self.rig, 1)
         L = self.caps.L
@@ -531,7 +538,7 @@ class StereoSLAM:
         # sliding window): fresh detections matching an archived landmark by
         # projection + BRIEF descriptor adopt its archived position, so the
         # map re-uses old structure when the camera revisits it.
-        n_gm_res = jnp.zeros((), jnp.int32)
+        n_gm_res = jnp.zeros((2,), jnp.int32)  # [claimed, pack hits]
         gm_pack = None
         if self.cfg.global_map and gm is not None:
             from sadvio_tpu.data import globalmap as gmap
@@ -553,11 +560,14 @@ class StereoSLAM:
             n_gm_res = jnp.sum(upd)
             # loop-closure material: EVERY confident 2D-3D re-association
             # (not only slot-claiming ones) packed as one host fetch --
-            # [uv(2), archived lmk(3), src KF idx(1), hit(1)] per detection
+            # [uv(2), archived lmk(3), src KF idx(1), hit(1)] per detection.
+            # The pack-hit count rides the counts vector so the host can
+            # gate the pack fetch without a blocking round trip per KF.
             gm_pack = jnp.concatenate([
                 uv_det, lmk_arch, src_a[:, None].astype(jnp.float32),
                 hit_a[:, None].astype(jnp.float32),
             ], axis=-1)
+            n_gm_res = jnp.stack([n_gm_res, jnp.sum(hit_a)])
 
         # 2. stereo track cam0 -> cam1 (trackFeatures cam0->cam1)
         uv1, ok1, _ = klt.track(
@@ -610,8 +620,9 @@ class StereoSLAM:
         # >1 s inter-KF gaps drop the IMU factor (AOptimizer.cpp:68-70: the
         # preintegrated noise over such a stretch is useless as a constraint;
         # the dt>1 s forced keyframe bounds FUTURE intervals, and like the
-        # reference the overlong factor itself is skipped)
-        gap_ok = (ts - window.ts[idx]) <= 1.0
+        # reference the overlong factor itself is skipped).  Host-computed
+        # float64 gap verdict -- see the docstring for why.
+        gap_ok = jnp.asarray(imu_gap_ok)
         imu_chain = imu_chain.replace(
             pre=jax.tree.map(
                 lambda a, b: a.at[idx].set(jnp.where(write, b, a[idx])),
@@ -920,7 +931,19 @@ class StereoSLAM:
             )
             if self.global_map_state is not None:
                 (self.tracks, self.window, self.obs, self.imu,
-                 self.lmk_desc, _, _) = ins
+                 self.lmk_desc, gm_counts, gm_pack) = ins
+                counts_h = np.asarray(gm_counts)
+                out["gm_resurrected"] = int(counts_h[0])
+                # the relocalized bootstrap KF is the strongest closure
+                # opportunity of the whole recovery -- its detections were
+                # just re-associated against the archive around the kept
+                # pose, so emit the loop edge to the archived anchor now
+                if (out.get("relocalized") and self.cfg.pose_graph
+                        and self.archived_kf
+                        and int(counts_h[1]) >= self._LC_MIN_HITS):
+                    lc = self._try_loop_closure(gm_pack, frame.ts, R0, t0)
+                    if lc is not None:
+                        out["loop_closure"] = lc
             else:
                 self.tracks, self.window, self.obs, self.imu = ins
             self.n_kf = 1
@@ -1074,29 +1097,32 @@ class StereoSLAM:
         slot = self.n_kf
         if prof:
             prof.tic()
+        # host-side float64 IMU gap verdict (see _insert_kf docstring)
+        gap_ok = (not self.kf_ts) or (frame.ts - self.kf_ts[-1]) <= 1.0
         ins = self._insert_kf(
             pyr_new, self.tracks, self.window, self.obs, self.imu,
             self.pre_cur, R_new, t_new, v_pred, jnp.float32(frame.ts),
             self._next_key(), slot, ext_det=self._csv_det(frame),
             gm=self.global_map_state, lmk_desc=self.lmk_desc,
+            imu_gap_ok=jnp.asarray(gap_ok),
         )
         if self.global_map_state is not None:
             (self.tracks, self.window, self.obs, self.imu, self.lmk_desc,
-             n_gm_res, gm_pack) = ins
-            out["gm_resurrected"] = int(n_gm_res)
+             gm_counts, gm_pack) = ins
+            counts_h = np.asarray(gm_counts)  # [claimed, pack hits]: 1 fetch
+            out["gm_resurrected"] = int(counts_h[0])
             # loop closure: a burst of descriptor resurrections is a revisit
             # signal -- solve PnP of this KF against the archived positions
             # and emit a pose-graph edge to the archiving keyframe, so
             # optimize_archive can actually close accumulated drift (the
             # natural consumer of the globalmap+posegraph pair; the
-            # reference archives but never closes)
-            # any claimed resurrection triggers the (host-side) closure try:
-            # the pack usually holds MORE confident 2D-3D re-associations
-            # than claimed slots, and _try_loop_closure applies its own
-            # >=_LC_MIN_HITS gate over the full pack
+            # reference archives but never closes).  The pack-hit count
+            # gates the (blocking) gm_pack fetch so non-revisit keyframes
+            # never pay it.
             if (self.cfg.pose_graph and self.archived_kf
-                    and out["gm_resurrected"] > 0):
+                    and int(counts_h[1]) >= self._LC_MIN_HITS):
                 lc = self._try_loop_closure(gm_pack, frame.ts, R_new, t_new)
+                out["lc_diag"] = self._lc_diag
                 if lc is not None:
                     out["loop_closure"] = lc
         else:
@@ -1410,12 +1436,32 @@ class StereoSLAM:
         # last of them for loop-closure provenance.
         if (self.cfg.global_map and self.global_map_state is not None
                 and self.n_kf > 0):
+            from sadvio_tpu.backend import posegraph as pg
             from sadvio_tpu.data import globalmap as gmap
 
+            poses = []
             for j, ts in enumerate(self.kf_ts):
                 pk = np.asarray(
                     self._pack_pose(self.window.R[j], self.window.t[j]))
-                self.archived_kf.append((ts, pk[:9].reshape(3, 3), pk[9:]))
+                R_j, t_j = pk[:9].reshape(3, 3), pk[9:]
+                self.archived_kf.append((ts, R_j, t_j))
+                poses.append((ts, R_j, t_j))
+            # odometric edges among the newly archived nodes: NFR edges are
+            # only emitted at roll time, so without these the reset-archived
+            # chain (including the landmark anchor below) would float free
+            # and a later loop closure to it would correct nothing
+            if self.cfg.pose_graph:
+                for j in range(len(poses) - 1):
+                    ts_a, R_a, t_a = poses[j]
+                    ts_b, R_b, t_b = poses[j + 1]
+                    dx_w = np.concatenate([
+                        np.asarray(geo.so3_log(
+                            jnp.asarray(R_a.T @ R_b, jnp.float32))),
+                        R_a.T @ (t_b - t_a),
+                    ])
+                    inf_w = pg.inflate_edge_info(
+                        np.eye(6) * 1e7, self.kf_cov[j], self.kf_cov[j + 1])
+                    self.pose_graph_edges.append((ts_a, ts_b, dx_w, inf_w))
             self.global_map_state = gmap.archive(
                 self.global_map_state, self.window.lmk, self.lmk_desc,
                 self.window.lmk_mask,

@@ -78,8 +78,12 @@ def make_sensor_node(node, provider: OnlineProvider, *, cam_topics,
             provider.push_image(cam, ts, decode_compressed(msg.data))
         return cb
 
-    if isinstance(compressed, bool):
-        compressed = [compressed] * len(cam_topics)
+    if not hasattr(compressed, "__len__"):
+        compressed = [bool(compressed)] * len(cam_topics)
+    elif len(compressed) != len(cam_topics):
+        raise ValueError(
+            f"compressed has {len(compressed)} entries for "
+            f"{len(cam_topics)} camera topics")
     subs = [
         node.create_subscription(CompressedImage, t, on_compressed(c), 10)
         if compressed[c]
