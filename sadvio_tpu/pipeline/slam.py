@@ -1274,7 +1274,12 @@ class StereoSLAM:
     def _reloc_probe(self, img0, gm, R_seed, t_seed):
         """Detect fresh features and re-associate them against the archive
         around the seed pose (wide search box: the pose drifted during the
-        failure).  Returns (M,6) pack [uv(2), archived lmk(3), hit(1)]."""
+        failure).  Returns (M,6) pack [uv(2), archived lmk(3), hit(1)].
+
+        NOTE: intentionally parallels _insert_kf step 1c (detect -> smooth
+        -> describe -> resurrect -> pack) but differs in occupancy input
+        (no live tracks exist here), search box and pack layout (no src
+        column) -- keep the two in sync when changing either."""
         from sadvio_tpu.data import globalmap as gmap
 
         cam0 = _cam0(self.rig)
