@@ -21,9 +21,10 @@ import jax.numpy as jnp
 
 from sadvio_tpu.frontend.detect import bilinear_sample
 
-
-_PWY = 40  # Pallas LK window rows (= ops.klt_kernel.WIN_Y)
-_PWX = 256  # Pallas LK window cols (= ops.klt_kernel.WIN_X)
+# Pallas LK window dims: pyramid sub-levels are padded to this shape so the
+# whole pyramid tracks on the kernel path.  Imported (not duplicated) -- the
+# pairing drifted once (pyramids padded to 32 while the kernel needed 40).
+from sadvio_tpu.ops.klt_kernel import WIN_X as _PWX, WIN_Y as _PWY
 
 
 def build_pyramid(img, levels: int = 3):

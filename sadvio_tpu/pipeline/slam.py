@@ -1341,6 +1341,9 @@ class StereoSLAM:
         src = pk[:, 5].astype(np.int64)
         cand = hit & (src >= 0) & (src < len(self.archived_kf))
         if cand.sum() < self._LC_MIN_HITS:
+            # refresh the diagnostic even on the early exit, or out["lc_diag"]
+            # reports a stale tuple from an earlier keyframe's attempt
+            self._lc_diag = (int(cand.sum()), 0, False)
             return None
         vals, counts = np.unique(src[cand], return_counts=True)
         dom = int(vals[np.argmax(counts)])
@@ -1372,9 +1375,12 @@ class StereoSLAM:
             np.asarray(geo.so3_log(jnp.asarray(R_rel, jnp.float32))),
             R_a.T @ (t_p - t_a),
         ])
+        # weight with the CURRENT frame's ESKF covariance (_cov_h): the edge
+        # attaches to the keyframe being inserted now, whose covariance is
+        # appended to kf_cov only after this call returns
         inf = pg.inflate_edge_info(
             np.linalg.inv(np.asarray(cov) + 1e-9 * np.eye(6)),
-            self.kf_cov[-1] if self.kf_cov else np.zeros((6, 6)),
+            np.asarray(self._cov_h),
             np.zeros((6, 6)),
         )
         self.pose_graph_edges.append((ts_a, ts_cur, dx, inf))

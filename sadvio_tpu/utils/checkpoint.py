@@ -78,11 +78,23 @@ def load_slam(path: str, slam) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(state)
     names = [k for k in data.files if k != "meta"]
     names.sort(key=lambda s: int(s.split("_")[1]))
-    assert len(names) == len(leaves), "checkpoint/leaf count mismatch"
+    loaded = [data[n] for n in names]
+    if len(loaded) == len(leaves) - 1 and "gm" in state:
+        # pre-src checkpoint: GlobalMap gained its `src` provenance leaf
+        # after this file was saved.  Splice in the neutral default (-1 =
+        # no archiving-KF provenance) at the leaf's flat position so older
+        # checkpoints keep loading (mirrors the meta.get() fallbacks below).
+        paths, _ = zip(*jax.tree_util.tree_flatten_with_path(state)[0])
+        src_pos = next(
+            i for i, p in enumerate(paths)
+            if any(getattr(k, "key", None) == "gm" for k in p)
+            and any(getattr(k, "name", None) == "src" for k in p)
+        )
+        loaded.insert(src_pos, np.asarray(leaves[src_pos]))
+    assert len(loaded) == len(leaves), "checkpoint/leaf count mismatch"
     new_leaves = []
-    for name, old in zip(names, leaves):
-        arr = data[name]
-        assert arr.shape == tuple(np.shape(old)), f"shape mismatch at {name}"
+    for arr, old in zip(loaded, leaves):
+        assert arr.shape == tuple(np.shape(old)), "checkpoint shape mismatch"
         new_leaves.append(jnp.asarray(arr))
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     slam.window = state["window"]

@@ -57,6 +57,41 @@ def test_checkpoint_resume_identical(world, tmp_path):
                                atol=1e-7)
 
 
+def test_checkpoint_pre_src_compat(world, tmp_path):
+    """A checkpoint saved before GlobalMap gained its `src` leaf still
+    loads: the missing leaf defaults to full(-1) (no provenance)."""
+    import dataclasses
+    import json
+
+    cfg = dataclasses.replace(small_config(), global_map=True)
+    a = StereoSLAM(world.rig, cfg)
+    for f in world.frames[:10]:
+        a.process_frame(f)
+    path = str(tmp_path / "state.npz")
+    ckpt.save_slam(path, a)
+
+    # simulate the old format: drop the gm.src leaf and renumber
+    data = np.load(path, allow_pickle=False)
+    names = sorted((k for k in data.files if k != "meta"),
+                   key=lambda s: int(s.split("_")[1]))
+    paths, _ = zip(*jax.tree_util.tree_flatten_with_path(
+        ckpt._device_state(a))[0])
+    src_pos = next(
+        i for i, p in enumerate(paths)
+        if any(getattr(k, "key", None) == "gm" for k in p)
+        and any(getattr(k, "name", None) == "src" for k in p))
+    kept = [data[n] for i, n in enumerate(names) if i != src_pos]
+    old_path = str(tmp_path / "old.npz")
+    np.savez_compressed(old_path, *kept, meta=data["meta"])
+
+    b = StereoSLAM(world.rig, cfg)
+    ckpt.load_slam(old_path, b)
+    assert np.all(np.asarray(b.global_map_state.src) == -1)
+    np.testing.assert_allclose(np.asarray(b.global_map_state.pos),
+                               np.asarray(a.global_map_state.pos))
+    assert b.n_kf == a.n_kf
+
+
 def test_run_logging(world, tmp_path):
     slam = StereoSLAM(world.rig, small_config())
     log = str(tmp_path / "log_slam")
