@@ -91,6 +91,19 @@ class SLAMConfig:
     # with their BRIEF descriptors and resurrected by projection+descriptor
     # match when the camera revisits them
     global_map: bool = False
+    # loop-closure / relocalization gates (beyond-reference consumers of the
+    # global map; exposed as config keys like the reference's KF-vote gates
+    # in config.yaml rather than source constants)
+    lc_min_hits: int = 6  # resurrection burst size that triggers a closure try
+    lc_consensus: float = 0.6  # min PnP-inlier fraction to accept a closure
+    reloc_consensus: float = 0.5  # min inlier fraction for relocalization
+    reloc_search_px: float = 25.0  # archive re-association box after a reset
+    archive_capacity: int = 4096  # global-map landmark ring slots
+    # bound on host-side archive growth (archived_kf nodes / pose-graph
+    # edges): beyond this the oldest non-loop nodes are compacted by NFR
+    # edge composition so soak runs stay O(1) in memory and
+    # optimize_archive stays O(cap)
+    archive_max_nodes: int = 1024
     features: tuple = (FeatureConfig(),)
     caps: Capacities = Capacities()
 
@@ -146,11 +159,13 @@ def load_slam_config(path: str) -> SLAMConfig:
         if key in y:
             kw[key] = str(y[key])
     for key in ("min_kf_number", "max_kf_number", "fixed_frame_number",
-                "min_lmk_number", "ba_iterations"):
+                "min_lmk_number", "ba_iterations", "lc_min_hits",
+                "archive_capacity", "archive_max_nodes"):
         if key in y:
             kw[key] = int(y[key])
     for key in ("min_movement_parallax", "max_movement_parallax", "ZNCC_tsh",
-                "max_length_tsh"):
+                "max_length_tsh", "lc_consensus", "reloc_consensus",
+                "reloc_search_px"):
         if key in y:
             kw[key.lower()] = float(y[key])
     for key in ("marginalization", "sparsification", "mesh3d", "pose_graph",

@@ -130,6 +130,9 @@ class StereoSLAM:
         self._cov_h = np.zeros((6, 6))
         self.kf_cov = []
         self._have_priors = False  # host mirror of any(priors.sp_mask)
+        # keep-set overflow of the latest marginalization (device scalar;
+        # fetched via the KF-rate _pack_state pack, never a blocking RPC)
+        self._ovf_dev = jnp.zeros((), jnp.int32)
         self._prefetched = None  # next frame's device images (run() pipeline)
         self._imu_pref = []  # next frame's uploaded IMU batches
         self._imu_pref_ts = None  # timestamp keying _imu_pref
@@ -144,7 +147,7 @@ class StereoSLAM:
         if config.global_map:
             from sadvio_tpu.data.globalmap import GlobalMap
 
-            self.global_map_state = GlobalMap.create()
+            self.global_map_state = GlobalMap.create(config.archive_capacity)
             self.lmk_desc = jnp.zeros((L, 8), jnp.uint32)
         # PP: route the KF-rate backend through a second device (reference
         # front/back-end thread split -> BackendExecutor async dispatch);
@@ -240,12 +243,15 @@ class StereoSLAM:
         return jnp.concatenate([R.reshape(-1), t])
 
     @partial(jax.jit, static_argnames=("self",))
-    def _pack_state(self, window, slot):
-        """21-float KF state pack (R,t,v,ba,bg): one fetch refreshes every
-        host mirror at keyframe rate."""
+    def _pack_state(self, window, slot, ovf):
+        """22-float KF state pack (R,t,v,ba,bg + keep-overflow count): one
+        fetch refreshes every host mirror at keyframe rate.  The overflow
+        count riding this pack is what lets the marg branch surface prior
+        degradation without a blocking fetch of its own."""
         return jnp.concatenate([
             window.R[slot].reshape(-1), window.t[slot], window.v[slot],
             window.ba[slot], window.bg[slot],
+            ovf.astype(jnp.float32)[None],
         ])
 
     def _upload_images(self, frame):
@@ -940,7 +946,7 @@ class StereoSLAM:
                 # pose, so emit the loop edge to the archived anchor now
                 if (out.get("relocalized") and self.cfg.pose_graph
                         and self.archived_kf
-                        and int(counts_h[1]) >= self._LC_MIN_HITS):
+                        and int(counts_h[1]) >= self.cfg.lc_min_hits):
                     lc = self._try_loop_closure(gm_pack, frame.ts, R0, t0)
                     if lc is not None:
                         out["loop_closure"] = lc
@@ -1034,6 +1040,7 @@ class StereoSLAM:
             return out
 
         out["is_kf"] = True
+        did_marg = False
         K = self.caps.K
         if self.n_kf >= K:
             # archive the leaving KF (GlobalMap::addFrame role); optionally
@@ -1080,13 +1087,12 @@ class StereoSLAM:
                  n_ovf) = mr
             if prof:
                 prof.toc("marginalization", block=self.window.R)
-                # surface the keep-set capacity overflow (landmarks demoted
-                # to lonely, losing prior correlation): a busy scene must
-                # not degrade the prior silently
-                ovf = int(n_ovf)
-                out["keep_overflow"] = ovf
-                prof.sums["keep_overflow_lmk"] += ovf
-                prof.counts["keep_overflow_lmk"] += 1
+            # keep-set capacity overflow (landmarks demoted to lonely,
+            # losing prior correlation): a busy scene must not degrade the
+            # prior silently.  The count rides this keyframe's _pack_state
+            # fetch -- surfaced unconditionally, no extra RPC.
+            self._ovf_dev = n_ovf
+            did_marg = True
             if self.cfg.marginalization:
                 self._have_priors = True
             if self._line_ch is not None:
@@ -1120,7 +1126,7 @@ class StereoSLAM:
             # gates the (blocking) gm_pack fetch so non-revisit keyframes
             # never pay it.
             if (self.cfg.pose_graph and self.archived_kf
-                    and int(counts_h[1]) >= self._LC_MIN_HITS):
+                    and int(counts_h[1]) >= self.cfg.lc_min_hits):
                 lc = self._try_loop_closure(gm_pack, frame.ts, R_new, t_new)
                 out["lc_diag"] = self._lc_diag
                 if lc is not None:
@@ -1193,10 +1199,17 @@ class StereoSLAM:
         self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
         if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
             self._run_vi_init()
-        pk = np.asarray(self._pack_state(self.window, slot))
+        pk = np.asarray(self._pack_state(self.window, slot, self._ovf_dev))
         self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:12]))
         self._ba_h = pk[15:18].copy()
         self._bg_h = pk[18:21].copy()
+        # prior-degradation surface (keep-set overflow of this KF's marg; 0
+        # when no marginalization ran)
+        out["keep_overflow"] = int(pk[21])
+        if prof and did_marg:
+            prof.sums["keep_overflow_lmk"] += int(pk[21])
+            prof.counts["keep_overflow_lmk"] += 1
+        self._ovf_dev = jnp.zeros((), jnp.int32)
         out["ba_cost"] = float(stats["cost"])
         out["vi_initialized"] = self.vi_initialized
 
@@ -1268,8 +1281,6 @@ class StereoSLAM:
             ba_lin=self.window.ba[k], bg_lin=self.window.bg[k]
         )
 
-    _LC_MIN_HITS = 6  # resurrection burst size that triggers a loop-closure try
-
     @partial(jax.jit, static_argnames=("self",))
     def _reloc_probe(self, img0, gm, R_seed, t_seed):
         """Detect fresh features and re-associate them against the archive
@@ -1293,7 +1304,8 @@ class StereoSLAM:
         det_desc = detect.brief_describe(sm0, uv_det)
         lmk_arch, hit, _src = gmap.resurrect(
             gm, cam0, R_seed, t_seed, self.rig.R_f_s[0], self.rig.t_f_s[0],
-            uv_det, det_desc, v_det, search_px=25.0,
+            uv_det, det_desc, v_det,
+            search_px=self.cfg.reloc_search_px,
         )
         return jnp.concatenate([
             uv_det, lmk_arch, hit[:, None].astype(jnp.float32)], axis=-1)
@@ -1309,18 +1321,19 @@ class StereoSLAM:
         pk = np.asarray(self._reloc_probe(
             img0, self.global_map_state, self.R_cur, self.t_cur))
         hit = pk[:, 5] > 0.5
-        if hit.sum() < self._LC_MIN_HITS:
+        if hit.sum() < self.cfg.lc_min_hits:
             return None
         R_p, t_p, inl, ok, cov = pnp.pnp_ransac(
             _cam0(self.rig), self.rig.R_f_s[0], self.rig.t_f_s[0],
             jnp.asarray(pk[:, 2:5], jnp.float32),
             jnp.asarray(pk[:, 0:2], jnp.float32), jnp.asarray(hit),
             self.R_cur, self.t_cur, self._next_key(),
-            min_inliers=self._LC_MIN_HITS, inlier_px=3.0,
+            min_inliers=self.cfg.lc_min_hits, inlier_px=3.0,
         )
         n_inl = int(jnp.sum(inl))
-        if not bool(ok) or n_inl < max(self._LC_MIN_HITS,
-                                       int(0.5 * hit.sum())):
+        if not bool(ok) or n_inl < max(self.cfg.lc_min_hits,
+                                       int(self.cfg.reloc_consensus
+                                           * hit.sum())):
             return None
         return jnp.asarray(np.asarray(R_p)), jnp.asarray(np.asarray(t_p))
 
@@ -1340,7 +1353,7 @@ class StereoSLAM:
         hit = pk[:, 6] > 0.5
         src = pk[:, 5].astype(np.int64)
         cand = hit & (src >= 0) & (src < len(self.archived_kf))
-        if cand.sum() < self._LC_MIN_HITS:
+        if cand.sum() < self.cfg.lc_min_hits:
             # refresh the diagnostic even on the early exit, or out["lc_diag"]
             # reports a stale tuple from an earlier keyframe's attempt
             self._lc_diag = (int(cand.sum()), 0, False)
@@ -1353,7 +1366,7 @@ class StereoSLAM:
             jnp.asarray(pk[:, 2:5], jnp.float32),
             jnp.asarray(pk[:, 0:2], jnp.float32), mask,
             R_cur, t_cur, self._next_key(),
-            min_inliers=self._LC_MIN_HITS,
+            min_inliers=self.cfg.lc_min_hits,
         )
         n_inl = int(jnp.sum(inl))
         n_cand = int(cand.sum())
@@ -1361,7 +1374,8 @@ class StereoSLAM:
         # descriptor re-association on weak texture admits false matches
         # inside the search box; a closure is only trusted when the PnP
         # consensus covers a solid majority of the candidates
-        if not bool(ok) or n_inl < max(self._LC_MIN_HITS, int(0.6 * n_cand)):
+        if not bool(ok) or n_inl < max(self.cfg.lc_min_hits,
+                                       int(self.cfg.lc_consensus * n_cand)):
             return None
         from sadvio_tpu.backend import posegraph as pg
 
@@ -1494,6 +1508,7 @@ class StereoSLAM:
         self.kf_cov = []
         self._cov_h = np.zeros((6, 6))
         self._have_priors = False
+        self._ovf_dev = jnp.zeros((), jnp.int32)
         self.initialized = False
         self.vi_initialized = not self.vio
         self._ba_h = np.zeros(3)

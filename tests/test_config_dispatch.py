@@ -90,6 +90,29 @@ def test_profiler_field_set(world, tmp_path):
     assert "pyramids" in txt
 
 
+def test_keep_overflow_surfaced_without_profiling(world):
+    """A keep set larger than the P prior slots degrades the prior
+    (overflow landmarks demoted to lonely); the count must surface in the
+    per-KF out dict of the NORMAL loop, not only under profiling."""
+    # near-every-frame keyframes so the window fills and marginalization
+    # actually runs within the 20-frame module world
+    cfg = SLAMConfig(
+        slam_mode="bimono", max_kf_number=5, min_lmk_number=25,
+        max_movement_parallax=0.05, min_movement_parallax=0.01,
+        caps=Capacities(K=6, L=160, P=4, pyr_levels=3, klt_radius=5))
+    slam = StereoSLAM(world.rig, cfg)
+    ovf = []
+    for f in world.frames:
+        out = slam.process_frame(f)
+        # unconditional on every KF past the bootstrap (which has no backend)
+        if out.get("is_kf") and "ba_cost" in out:
+            assert "keep_overflow" in out
+            ovf.append(out["keep_overflow"])
+    # the textured world co-observes far more than 4 landmarks across the
+    # roll boundary: at least one marginalization must report overflow
+    assert max(ovf) > 0, ovf
+
+
 def test_time_forced_keyframe_vio():
     """A >1 s gap since the last KF forces one in VIO even with zero
     parallax (stationary camera), bounding the preintegration interval

@@ -53,6 +53,23 @@ def test_preset_loads(preset):
         assert rig.C == len(ds.cameras)
 
 
+def test_lc_gate_keys_parse(tmp_path):
+    """The loop-closure/relocalization gates are YAML-configurable."""
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "slam_mode: bimono\nglobal_map: 1\npose_graph: 1\n"
+        "lc_min_hits: 11\nlc_consensus: 0.8\nreloc_consensus: 0.7\n"
+        "reloc_search_px: 40.0\narchive_capacity: 512\n"
+        "archive_max_nodes: 99\n")
+    cfg = cfg_mod.load_slam_config(str(p))
+    assert cfg.lc_min_hits == 11
+    assert cfg.lc_consensus == 0.8
+    assert cfg.reloc_consensus == 0.7
+    assert cfg.reloc_search_px == 40.0
+    assert cfg.archive_capacity == 512
+    assert cfg.archive_max_nodes == 99
+
+
 MODEL_CLASS = {
     "pinhole": "Pinhole", "fisheye": "Fisheye",
     "double_sphere": "DoubleSphere", "omni": "Omni",

@@ -63,6 +63,34 @@ def test_revisit_loop_closure_reduces_drift():
     assert np.mean(err_opt) < np.mean(err_raw)
 
 
+def test_strict_gates_suppress_relocalization():
+    """The loop-closure/relocalization gates are CONFIG keys, not source
+    constants: an impossibly strict lc_min_hits suppresses both the
+    relocalization and any closure edge on the same occlusion scenario that
+    relocalizes under the default gates (test below)."""
+    world = synthetic.make_world(seed=7, n_frames=40, width=320, height=240,
+                                 n_points=220, imu_noise=False)
+    cfg = SLAMConfig(
+        slam_mode="bimono", max_kf_number=5, min_lmk_number=25,
+        max_movement_parallax=1.0, min_movement_parallax=0.02,
+        marginalization=True, sparsification=True,
+        global_map=True, pose_graph=True,
+        lc_min_hits=999,
+        caps=Capacities(K=6, L=200, P=24, pyr_levels=3, klt_radius=5),
+    )
+    slam = StereoSLAM(world.rig, cfg)
+    relocalized, closures = False, 0
+    for i, f in enumerate(world.frames):
+        if 20 <= i < 26:
+            f = f._replace(images=np.zeros_like(f.images))
+        out = slam.process_frame(f)
+        relocalized |= out.get("relocalized", False)
+        closures += "loop_closure" in out
+    assert slam.n_resets >= 1
+    assert not relocalized, "strict gate did not suppress relocalization"
+    assert closures == 0, closures
+
+
 def test_relocalization_after_reset_keeps_gauge():
     """Tracking failure (occluded frames) -> reset -> the bootstrap KF
     relocalizes against the archived global map and CONTINUES the original
