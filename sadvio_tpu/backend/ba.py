@@ -69,6 +69,12 @@ class BAOptions:
     # strongly down-weighted
     sigma_line: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
     w_along: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.3))
+    # optional NamedSharding for the dense-factor tangent sweep: shards the
+    # (K*D + P*3 + M*6)-wide jacfwd basis over the mesh so the SMALL-factor
+    # linearization -- the dominant replicated term of the landmark-sharded
+    # BA (SCALING.md t_red) -- divides across chips instead of replicating.
+    # None = unsharded (single device / GSPMD chooses).
+    dense_shard: object = struct.field(pytree_node=False, default=None)
 
 
 class BAProblem(NamedTuple):
@@ -400,10 +406,22 @@ def _linearize(problem: BAProblem, opts: BAOptions) -> _Lin:
         return jnp.concatenate([r_small, r_line])
 
     dx0 = jnp.zeros((Dd,), dt_)
-    r_dense = rfun(dx0)
-    J_dense = jax.jacfwd(rfun)(dx0)
-    H = J_dense.T @ J_dense
-    b = -J_dense.T @ r_dense
+    if opts.dense_shard is not None:
+        # explicit tangent basis, sharded over the mesh: each device pushes
+        # Dd/n tangents through the linearized small-factor graph, then the
+        # normal-equation contraction gathers the (Dd, R) slab -- this is
+        # what makes t_red scale with the mesh instead of replicating
+        r_dense, f_jvp = jax.linearize(rfun, dx0)
+        basis = jax.lax.with_sharding_constraint(
+            jnp.eye(Dd, dtype=dt_), opts.dense_shard)
+        Jcols = jax.vmap(f_jvp)(basis)  # (Dd, R), sharded on axis 0
+        H = Jcols @ Jcols.T
+        b = -(Jcols @ r_dense)
+    else:
+        r_dense = rfun(dx0)
+        J_dense = jax.jacfwd(rfun)(dx0)
+        H = J_dense.T @ J_dense
+        b = -J_dense.T @ r_dense
     dense_sq = jnp.sum(r_dense * r_dense)
 
     # scatter the lam-independent reprojection blocks into the dense system

@@ -85,6 +85,90 @@ def pinv_sqrt(cov, eps_rel=1e-6):
     return (U * s[..., None, :]) @ jnp.swapaxes(U, -1, -2)
 
 
+# ---------------------------------------------------------------------------
+# opt-in f64 island (reference parity: Eigen doubles at 1e-12)
+# ---------------------------------------------------------------------------
+# The reference runs the entire Schur / eigendecomposition chain in double
+# precision with a 1e-12 rank threshold (marginalization.cpp:318-342; Ceres
+# solves in f64).  On TPU the natural dtype is f32 -- SURVEY §7 "hard parts"
+# #3 names exactly this risk: with information spreads ~1e8 (IMU vs vision)
+# the f32 eigh pinv cannot resolve the small-eigenvalue subspace.  The
+# opt-in island (SLAMConfig.marg_f64) routes just the dense
+# eigendecomposition PRODUCTS through host numpy float64 via pure_callback:
+# inputs/outputs stay f32 (the assembly error is benign; the damage happens
+# inside the pinv chain), the callback runs at KF rate on a few-hundred-dim
+# matrix, so the host round trip is negligible next to the window BA.
+# Caveat: pure_callback requires host-callback support from the device
+# runtime -- keep the flag off on runtimes without it (it is off by
+# default; the f32 path below additionally Jacobi-equilibrates the
+# eigendecompositions, which absorbs diagonal information spread without
+# any callback).
+
+_EPS64 = 1e-12  # relative rank threshold, reference parity
+
+
+def _np_sym64(A):
+    import numpy as np
+
+    A = np.asarray(A, np.float64)
+    return 0.5 * (A + np.swapaxes(A, -1, -2))
+
+
+def _np_rr_pinv64(A):
+    import numpy as np
+
+    lam, U = np.linalg.eigh(_np_sym64(A))
+    mx = np.maximum(np.max(np.abs(lam), axis=-1, keepdims=True), 1e-300)
+    keep = lam > _EPS64 * mx
+    inv = np.where(keep, 1.0 / np.where(keep, lam, 1.0), 0.0)
+    Ainv = (U * inv[..., None, :]) @ np.swapaxes(U, -1, -2)
+    return (Ainv.astype(np.float32), U.astype(np.float32),
+            lam.astype(np.float32), keep)
+
+
+def rr_pinv64(A):
+    """rank_revealing_pinv computed on host in f64 (pure_callback)."""
+    S = jax.ShapeDtypeStruct
+    sh, dt = A.shape, jnp.float32
+    return jax.pure_callback(
+        _np_rr_pinv64,
+        (S(sh, dt), S(sh, dt), S(sh[:-1], dt), S(sh[:-1], jnp.bool_)),
+        A, vmap_method="broadcast_all")
+
+
+def _np_pinv_sqrt64(cov):
+    import numpy as np
+
+    lam, U = np.linalg.eigh(_np_sym64(cov))
+    mx = np.maximum(np.max(np.abs(lam), axis=-1, keepdims=True), 1e-300)
+    keep = lam > _EPS64 * mx
+    s = np.where(keep, 1.0 / np.sqrt(np.where(keep, lam, 1.0)), 0.0)
+    W = (U * s[..., None, :]) @ np.swapaxes(U, -1, -2)
+    return W.astype(np.float32)
+
+
+def pinv_sqrt64(cov):
+    """pinv_sqrt computed on host in f64 (pure_callback; vmap-batchable)."""
+    return jax.pure_callback(
+        _np_pinv_sqrt64, jax.ShapeDtypeStruct(cov.shape, jnp.float32),
+        cov, vmap_method="broadcast_all")
+
+
+def rank_revealing_pinv_eq(A, eps_rel=1e-6):
+    """rank_revealing_pinv with Jacobi pre-equilibration.
+
+    D^-1/2 A D^-1/2 brings the ~1e8 diagonal information spread (IMU rows
+    vs landmark rows) to O(1) before the f32 eigh, the same guard the
+    window BA applies to its Cholesky (ba._solve_from_lin).  Scale-invariant
+    rank decisions; pinv(A) = D^-1/2 pinv(As) D^-1/2.
+    """
+    d = jnp.clip(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), 1e-20, None)
+    s = 1.0 / jnp.sqrt(d)
+    As = _sym(A) * s[..., :, None] * s[..., None, :]
+    Ainv_s, U, lam, keep = rank_revealing_pinv(As, eps_rel)
+    return Ainv_s * s[..., :, None] * s[..., None, :]
+
+
 def kld_gaussian_info(A_p, A_q, eps_rel=1e-6):
     """KLD between zero-mean Gaussians given info matrices (computeKLD:344)."""
     Ainv, U, lam, keep = rank_revealing_pinv(A_p, eps_rel)
@@ -323,10 +407,10 @@ def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("vio", "sparsify"))
+@partial(jax.jit, static_argnames=("vio", "sparsify", "f64"))
 def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
                 priors: PriorSet, opts: BAOptions, vio: bool = True,
-                sparsify: bool = True):
+                sparsify: bool = True, f64: bool = False):
     """Marginalize KF slot 0; emit a sparsified OR dense prior.
 
     sparsify=True: Chow-Liu / pose-relative factor set (the headline
@@ -334,6 +418,12 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     `sparsification: 0` path -- the exact Schur marginal replayed as one
     dense (15+3P)-dim linear factor (J = Lam^1/2 U^T, r = Lam^-1/2 U^T g;
     BundleAdjustmentCERESAnalytic.cpp:316-429, marginalization.cpp:516-530).
+
+    f64=True routes the eigendecomposition chain through the host-f64
+    island (reference f64/1e-12 parity; see the island section above).
+    f64=False runs f32 with Jacobi equilibration of the Schur
+    eigendecompositions -- the pure-device guard against diagonal
+    information spread.
 
     Returns (new_priors, info) where new_priors is expressed in *pre-shift*
     slot coordinates (kept frame = slot 1); apply shift_priors() after the
@@ -361,13 +451,27 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     Hmm = H[:m_dim, :m_dim]
     Hmk = H[:m_dim, m_dim:]
     Hkk = H[m_dim:, m_dim:]
-    Hmm_inv, _, _, _ = rank_revealing_pinv(Hmm)
+    if f64:
+        Hmm_inv, _, _, _ = rr_pinv64(Hmm)
+    else:
+        Hmm_inv = rank_revealing_pinv_eq(Hmm)
     Ak = _sym(Hkk - Hmk.T @ Hmm_inv @ Hmk)  # (15+3P) over [x1, kept]
     gk = g[m_dim:] - Hmk.T @ (Hmm_inv @ g[:m_dim])
 
-    # rank-revealing decomposition of Ak -> covariance of kept states
-    Ak_inv, U, lam, keep_eig = rank_revealing_pinv(Ak)
-    Sigma_k = Ak_inv  # = U lam^-1 U^T on the kept subspace
+    # rank-revealing decomposition of Ak -> covariance of kept states.
+    # f32: equilibrated (A = S^-1 As S^-1 with S = diag(s_Ak); the dense
+    # recovery below unscales with the same identities, s_Ak == 1 in f64)
+    if f64:
+        s_Ak = jnp.ones((Ak.shape[0],), Ak.dtype)
+        Ak_inv, U, lam, keep_eig = rr_pinv64(Ak)
+        Sigma_k = Ak_inv
+    else:
+        d_Ak = jnp.clip(jnp.abs(jnp.diagonal(Ak)), 1e-20, None)
+        s_Ak = 1.0 / jnp.sqrt(d_Ak)
+        As = _sym(Ak) * s_Ak[:, None] * s_Ak[None, :]
+        Ak_inv_s, U, lam, keep_eig = rank_revealing_pinv(As)
+        Sigma_k = Ak_inv_s * s_Ak[:, None] * s_Ak[None, :]
+    psq = pinv_sqrt64 if f64 else pinv_sqrt
 
     new = PriorSet.create(state.K, P, state.lmk.dtype)
     # INVARIANT: masked prior_slots are injective over landmark slots --
@@ -389,8 +493,11 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         # r chosen so J^T r = g_k (the reference's computeJacobiansAndResiduals)
         sq = jnp.sqrt(jnp.where(keep_eig, lam, 0.0))
         isq = jnp.where(keep_eig, 1.0 / jnp.sqrt(jnp.where(keep_eig, lam, 1.0)), 0.0)
-        dn_J = sq[:, None] * U.T
-        dn_r = isq[:, None] * U.T @ gk
+        # unscale the equilibrated eigenbasis: A = S^-1 U lam U^T S^-1 with
+        # S = diag(s_Ak), so J = lam^1/2 U^T S^-1 and J^T r = g needs
+        # r = lam^-1/2 U^T S g  (s_Ak == 1 when f64)
+        dn_J = sq[:, None] * (U.T * (1.0 / s_Ak)[None, :])
+        dn_r = isq * (U.T @ (gk * s_Ak))
         has_info = jnp.any(keep_eig & (lam > 0))
         new = new.replace(
             dn_J=dn_J, dn_r=dn_r,
@@ -413,7 +520,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
             Jr = Jr.at[:, 3:6].set(-jnp.eye(3, dtype=state.lmk.dtype))
             Jr = jax.lax.dynamic_update_slice(Jr, R1.T, (0, D + 3 * i))
             cov = Jr @ Sigma_k @ Jr.T
-            return p_f, pinv_sqrt(cov)
+            return p_f, psq(cov)
 
         vals, infos = jax.vmap(plp_factor)(jnp.arange(P))
         new = new.replace(
@@ -424,7 +531,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         )
         # absolute 15-dof prior on kept frame: J = I in kept-delta coords
         cov_f = Sigma_k[:D, :D]
-        sp_sqrt = pinv_sqrt(cov_f)
+        sp_sqrt = psq(cov_f)
         new = new.replace(
             sp_R=new.sp_R.at[1].set(R1), sp_t=new.sp_t.at[1].set(t1),
             sp_v=new.sp_v.at[1].set(state.v[1]), sp_ba=new.sp_ba.at[1].set(state.ba[1]),
@@ -474,7 +581,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         cov_root = jax.vmap(lmk_block)(jnp.arange(P))[root]
         new = new.replace(
             lp_val=new.lp_val.at[root].set(p_keep[root]),
-            lp_sqrt_info=new.lp_sqrt_info.at[root].set(pinv_sqrt(cov_root)),
+            lp_sqrt_info=new.lp_sqrt_info.at[root].set(psq(cov_root)),
             lp_mask=new.lp_mask.at[root].set(jnp.any(km)),
         )
 
@@ -490,7 +597,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
                 - jax.lax.dynamic_slice(Sigma_k, (D + 3 * b, D + 3 * a), (3, 3))
             )
             val = p_keep[a] - p_keep[b]
-            return a, b, val, pinv_sqrt(cov), ok
+            return a, b, val, psq(cov), ok
 
         ll_a, ll_b, ll_val, ll_info, ll_ok = jax.vmap(ll_factor)(jnp.arange(P - 1))
         pad = lambda x, fill: jnp.concatenate([x, jnp.full((1, *x.shape[1:]), fill, x.dtype)])
@@ -579,7 +686,7 @@ def marginalize_relative(state: WindowState, obs: Observations, rig: Rig,
     B = B.at[:, D : D + 6, :].set(Hpl_s[1] * em[:, None, None])
     Ak = _sym(H - jnp.einsum("lij,ljk,lmk->im", B, Hll_inv, B))
 
-    Sigma_k, _, _, _ = rank_revealing_pinv(Ak)
+    Sigma_k = rank_revealing_pinv_eq(Ak)
     sel = jnp.concatenate([jnp.arange(6), D + jnp.arange(6)])
     Sigma_pp = Sigma_k[sel][:, sel]
 

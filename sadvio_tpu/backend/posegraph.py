@@ -40,6 +40,147 @@ def inflate_edge_info(inf, P_a, P_b, eps=1e-12):
     return (0.5 * (out + out.T)).astype(np.float64)
 
 
+def _np_so3_exp(w):
+    import numpy as np
+
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+
+def _np_so3_log(R):
+    import numpy as np
+
+    c = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
+    th = np.arccos(c)
+    if th < 1e-9:
+        return np.zeros(3)
+    if th > np.pi - 1e-3:
+        # near-pi branch: the antisymmetric extraction divides by sin(th)~0;
+        # recover the axis from the symmetric part instead ((R+I)/2 -> aa^T
+        # at th=pi), signs from the largest column
+        A = (R + np.eye(3)) / 2
+        i = int(np.argmax(np.diag(A)))
+        a = A[:, i] / max(np.sqrt(max(A[i, i], 0.0)), 1e-12)
+        a = a / max(np.linalg.norm(a), 1e-12)
+        return th * a
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return th / (2 * np.sin(th)) * w
+
+
+def compose_edge(dx_ab, inf_ab, dx_bc, inf_bc):
+    """Compose consecutive relative-pose edges a->b, b->c into one a->c.
+
+    Measurement: T_ac = T_ab T_bc on the (omega, nu) chart used by the NFR
+    edges (dx = [log(Ra^T Rb), Ra^T (tb - ta)]).  Information: first-order
+    covariance composition cov_ac = cov_ab + Ad_ab cov_bc Ad_ab^T with the
+    SE(3) adjoint -- the standard chain rule for node removal in pose-graph
+    sparsification (conservative: correlations between the two edges are
+    dropped).  numpy, host-side (compaction runs at most once per KF)."""
+    import numpy as np
+
+    dx_ab = np.asarray(dx_ab, np.float64)
+    dx_bc = np.asarray(dx_bc, np.float64)
+    R_ab = _np_so3_exp(dx_ab[:3])
+    R_bc = _np_so3_exp(dx_bc[:3])
+    t_ab, t_bc = dx_ab[3:], dx_bc[3:]
+    w_ac = _np_so3_log(R_ab @ R_bc)
+    t_ac = t_ab + R_ab @ t_bc
+    dx_ac = np.concatenate([w_ac, t_ac])
+
+    def cov_of(inf):
+        inf = np.asarray(inf, np.float64)
+        return np.linalg.pinv(0.5 * (inf + inf.T))
+
+    tx = np.array([
+        [0, -t_ab[2], t_ab[1]], [t_ab[2], 0, -t_ab[0]],
+        [-t_ab[1], t_ab[0], 0]])
+    Ad = np.zeros((6, 6))
+    Ad[:3, :3] = R_ab
+    Ad[3:, 3:] = R_ab
+    Ad[3:, :3] = tx @ R_ab
+    cov = cov_of(inf_ab) + Ad @ cov_of(inf_bc) @ Ad.T
+    inf = np.linalg.pinv(0.5 * (cov + cov.T) + 1e-12 * np.eye(6))
+    return dx_ac, 0.5 * (inf + inf.T)
+
+
+def compact_archive(nodes, edges, keep_last):
+    """Bound the archived pose graph: remove the oldest chain-interior
+    nodes until len(nodes) <= keep_last, composing each removed node's two
+    incident chain edges into one (compose_edge).
+
+    Protected (never removed): node 0 (gauge anchor), the newest node, and
+    any endpoint of a non-chain (loop-closure / cross-gap) edge -- removing
+    those would discard exactly the constraints worth keeping.  The cap is
+    therefore soft when many closures exist.
+
+    Returns (nodes, edges, remap) where remap (old_len,) int32 maps old
+    archive indices to new ones (removed nodes map to their surviving left
+    neighbor) -- apply it to any stored provenance (e.g. GlobalMap.src).
+    """
+    import numpy as np
+
+    n_old = len(nodes)
+    if n_old <= keep_last:
+        return nodes, edges, np.arange(n_old, dtype=np.int32)
+    pos = {}
+    for i, (ts, _, _) in enumerate(nodes):
+        pos.setdefault(float(ts), i)
+    chain = {}  # left-node ts -> edge spanning (pos p, pos p+1)
+    other = []  # loop edges + edges naming unknown/duplicate nodes
+    protected = set()
+    for e in edges:
+        i, j = pos.get(float(e[0])), pos.get(float(e[1]))
+        if i is not None and j == i + 1 and float(e[0]) not in chain:
+            chain[float(e[0])] = e
+        else:
+            other.append(e)
+            protected |= {float(e[0]), float(e[1])}
+    order = [float(ts) for ts, _, _ in nodes]
+    keep = [True] * n_old
+    removed = 0
+    k = 1
+    while removed < n_old - keep_last and k < n_old - 1:
+        ts_b = order[k]
+        if ts_b in protected:
+            k += 1
+            continue
+        a = k - 1
+        while a > 0 and not keep[a]:
+            a -= 1
+        ts_a, ts_c = order[a], order[k + 1]
+        e_ab = chain.pop(ts_a, None)
+        e_bc = chain.pop(ts_b, None)
+        if e_ab is not None and e_bc is not None:
+            dx, inf = compose_edge(e_ab[2], e_ab[3], e_bc[2], e_bc[3])
+            chain[ts_a] = (e_ab[0], e_bc[1], dx, inf)
+        elif e_ab is not None:
+            # dangling half-chain (the b->c edge never existed, e.g. an
+            # uninformative marginalization): re-keying keeps a->b's info
+            # addressable if c is removed later, but the edge now dangles --
+            # drop it with its node
+            pass
+        keep[k] = False
+        removed += 1
+        k += 1
+    new_nodes = [nodes[i] for i in range(n_old) if keep[i]]
+    new_edges = list(chain.values()) + other
+    remap = np.zeros((n_old,), np.int32)
+    new_i = 0
+    prev_surv = 0
+    for i in range(n_old):
+        if keep[i]:
+            remap[i] = new_i
+            prev_surv = new_i
+            new_i += 1
+        else:
+            remap[i] = prev_surv
+    return new_nodes, new_edges, remap
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def optimize_pose_graph(R, t, node_mask, ea, eb, dx, sqrt_inf, edge_mask,
                         iters: int = 10, damping: float = 1e-6):

@@ -101,5 +101,11 @@ def ba_solve_sharded(problem: ba.BAProblem, opts: ba.BAOptions, mesh: Mesh):
     jit infers the partitioning from the argument shardings; no explicit
     collectives are written -- XLA inserts the psum over the lmk axis when the
     reduced system contracts over L.
+
+    The dense small-factor tangent sweep (the replicated t_red term of the
+    scaling model) is additionally sharded over the same axis via
+    opts.dense_shard, so the per-iteration work that does NOT scale with L
+    still divides across the mesh (SCALING.md; round-5 efficiency item).
     """
+    opts = opts.replace(dense_shard=NamedSharding(mesh, P("lmk")))
     return ba.ba_solve(shard_problem(problem, mesh), opts)

@@ -58,12 +58,23 @@ class SLAMConfig:
     # front-end/back-end thread split, cpp/main.cpp:37-42; here the "thread"
     # is async dispatch to a BackendExecutor device)
     multithreading: bool = False
+    # steady-state frame loop never blocks on its own health fetch: the D2H
+    # copy is harvested one frame later and the KF vote consumes frame k-1's
+    # health (the reference's FE/BE split tolerates the same lag,
+    # slamCore.cpp:587-608).  Off = every frame blocks (one RPC round trip
+    # per frame on remote devices); profiling mode always blocks.
+    async_health: bool = True
     tracker: str = "klt"
     pose_estimator: str = "pnp"
     optimizer: str = "analytic"
     contrast_enhancer: str = "none"  # none|clahe|histeq
     marginalization: bool = True
     sparsification: bool = True
+    # route the marginalization eigendecomposition chain through the host
+    # float64 island (reference parity: Eigen doubles at 1e-12,
+    # marginalization.cpp:318-342).  Off = f32 with Jacobi-equilibrated
+    # eigendecompositions (pure-device; no host callback required).
+    marg_f64: bool = False
     mesh3d: bool = False
     # LM iterations of the KF-rate window BA.  The reference runs up to 20
     # Ceres iterations with early convergence exit (AOptimizer.cpp:315-323);
@@ -103,7 +114,7 @@ class SLAMConfig:
     # edges): beyond this the oldest non-loop nodes are compacted by NFR
     # edge composition so soak runs stay O(1) in memory and
     # optimize_archive stays O(cap)
-    archive_max_nodes: int = 1024
+    archive_max_nodes: int = 256
     features: tuple = (FeatureConfig(),)
     caps: Capacities = Capacities()
 
@@ -169,7 +180,7 @@ def load_slam_config(path: str) -> SLAMConfig:
         if key in y:
             kw[key.lower()] = float(y[key])
     for key in ("marginalization", "sparsification", "mesh3d", "pose_graph",
-                "global_map", "multithreading"):
+                "global_map", "multithreading", "async_health", "marg_f64"):
         if key in y:
             kw[key] = bool(int(y[key]))
     if feats:

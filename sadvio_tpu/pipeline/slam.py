@@ -133,6 +133,12 @@ class StereoSLAM:
         # keep-set overflow of the latest marginalization (device scalar;
         # fetched via the KF-rate _pack_state pack, never a blocking RPC)
         self._ovf_dev = jnp.zeros((), jnp.int32)
+        # async health pipeline: the pending (ts, device health) fetch, the
+        # most recently ingested health, and the template-changed flag that
+        # forces one blocking fetch right after a keyframe
+        self._health_pend = None
+        self._health_stale = False
+        self._last_health = None
         self._prefetched = None  # next frame's device images (run() pipeline)
         self._imu_pref = []  # next frame's uploaded IMU batches
         self._imu_pref_ts = None  # timestamp keying _imu_pref
@@ -706,7 +712,7 @@ class StereoSLAM:
         if self.cfg.marginalization:
             new_priors, info = marg.marginalize(
                 window, obs, self.rig, imu_chain, priors, self._ba_opts, vio=vio,
-                sparsify=self.cfg.sparsification,
+                sparsify=self.cfg.sparsification, f64=self.cfg.marg_f64,
             )
             marg_lmk = info["marg_lmk"]
             n_overflow = info["n_keep_overflow"]
@@ -859,6 +865,34 @@ class StereoSLAM:
             self._csv_folder, ts_ns, capacity=256, desc_dim=0)
         return (uv, v)
 
+    def _ingest_health(self, ts, health_h):
+        """Parse one frame's packed health fetch into the host mirrors:
+        failure counter, trajectory/VIO-log rows, frame covariance.  Called
+        with the CURRENT frame's health in blocking mode, or the PREVIOUS
+        frame's in the async steady-state loop."""
+        pnp_ok_h = bool(health_h[0] > 0.5)
+        R_h = health_h[4:13].reshape(3, 3).copy()
+        t_h = health_h[13:16].copy()
+        self._cov_h = health_h[19:55].reshape(6, 6).copy()
+        if not pnp_ok_h:
+            self.successive_fails += 1
+        else:
+            self.successive_fails = 0
+        self.traj.append((ts, R_h, t_h))
+        if self.vio:
+            v_h = health_h[16:19].copy()
+            self.vio_log.append((ts, *t_h, *v_h, *self._ba_h, *self._bg_h))
+        self._last_health = (ts, health_h, R_h, t_h)
+
+    def _flush_health(self):
+        """Harvest a still-pending async health fetch (the final frame's
+        trajectory/log rows) -- called at run end, before log writes, and
+        before a reset wipes the estimator."""
+        if getattr(self, "_health_pend", None) is not None:
+            ts, h = self._health_pend
+            self._health_pend = None
+            self._ingest_health(ts, np.asarray(h))
+
     def _gravity_align_init(self, frame):
         """First-pose gravity alignment from averaged accelerometer samples
         (slamBiMonoVIO.cpp:24-47 Rodrigues alignment)."""
@@ -979,32 +1013,46 @@ class StereoSLAM:
             pre_cov=self.pre_cur.cov if self.vio else None,
             v_pred=v_pred,
         )
-        health_h = np.asarray(health)  # ONE device->host fetch (health + pose)
+        # health fetch: the single mandatory device->host readback of the
+        # frame loop.  In the steady state it is harvested ASYNCHRONOUSLY --
+        # the D2H copy starts now and is consumed next frame, so no frame
+        # pays a blocking RPC round trip (~29 ms on a tunneled chip).  The
+        # KF vote then runs on frame k-1's health; the reference's FE/BE
+        # thread split already tolerates one frame of lag
+        # (slamCore.cpp:587-608), and the device pose is exact either way
+        # because dead-reckoning happens inside the kernel (R_new falls
+        # back to the prediction on PnP failure).  Profiling mode blocks
+        # every frame (attribution, not the steady-state loop).
+        use_async = self.cfg.async_health and prof is None
+        if use_async:
+            health.copy_to_host_async()
+            pend = self._health_pend
+            self._health_pend = (frame.ts, health)
+            if pend is not None:
+                self._ingest_health(pend[0], np.asarray(pend[1]))
+            if pend is None or self._health_stale:
+                # no usable previous-frame health: first tracked frame, or
+                # the tracking template just changed at a keyframe (its
+                # parallax was measured against the OLD template and would
+                # immediately re-trigger the vote) -- block on this frame's
+                self._ingest_health(frame.ts, np.asarray(health))
+                self._health_pend = None
+                self._health_stale = False
+        else:
+            self._ingest_health(frame.ts, np.asarray(health))
+            self._health_pend = None
         if prof:
             # the fused track+predict+filter+ESKF kernel; the health fetch
             # above already forced it
             prof.toc("track_predict_filter")
+        ts_h, health_h, R_h, t_h = self._last_health
         pnp_ok_h = bool(health_h[0] > 0.5)
-        R_h = health_h[4:13].reshape(3, 3).copy()
-        t_h = health_h[13:16].copy()
-        self._cov_h = health_h[19:55].reshape(6, 6).copy()
-        if not pnp_ok_h:
-            self.successive_fails += 1
-            R_new, t_new = R_pred, t_pred  # dead-reckon (slamBiMonoVIO.cpp:429-443)
-            pk = np.asarray(self._pack_pose(R_pred, t_pred))
-            R_h, t_h = pk[:9].reshape(3, 3), pk[9:]
-        else:
-            self.successive_fails = 0
-        # constant-velocity update
+        # constant-velocity update (device refs; exact regardless of lag)
         Ri, ti = geo.pose_inverse(self.R_cur, self.t_cur)
         self.dT = geo.pose_compose(Ri, ti, R_new, t_new)
         self.R_cur, self.t_cur, self.v_cur = R_new, t_new, v_pred
-        self.traj.append((frame.ts, R_h, t_h))
-        if self.vio:
-            v_h = health_h[16:19].copy()
-            self.vio_log.append((frame.ts, *t_h, *v_h, *self._ba_h,
-                                 *self._bg_h))
         out["pose"] = (R_h, t_h)
+        out["pose_ts"] = ts_h  # == frame.ts unless async-lagged by one
         out["pnp_ok"] = pnp_ok_h
         out["n_tracked"] = int(health_h[2])
         out["n_lmk_tracked"] = int(health_h[3])
@@ -1040,6 +1088,9 @@ class StereoSLAM:
             return out
 
         out["is_kf"] = True
+        # the tracking template changes below: frame k's in-flight health
+        # (measured against the OLD template) must not drive the next vote
+        self._health_stale = True
         did_marg = False
         K = self.caps.K
         if self.n_kf >= K:
@@ -1100,6 +1151,7 @@ class StereoSLAM:
             self.kf_ts.pop(0)
             self.kf_cov.pop(0)
             self.n_kf = K - 1
+            self._maybe_compact_archive()
         slot = self.n_kf
         if prof:
             prof.tic()
@@ -1400,11 +1452,45 @@ class StereoSLAM:
         self.pose_graph_edges.append((ts_a, ts_cur, dx, inf))
         return (float(ts_a), float(ts_cur))
 
-    def optimize_archive(self):
+    @partial(jax.jit, static_argnames=("self",))
+    def _remap_src(self, src, remap):
+        """Apply an archive-index remap to device provenance (gm.src)."""
+        safe = jnp.clip(src, 0, remap.shape[0] - 1)
+        return jnp.where(src >= 0, remap[safe], -1)
+
+    def _maybe_compact_archive(self):
+        """Bound host-side archive growth (the soak regime): when the
+        archived node count exceeds archive_max_nodes, remove the oldest
+        chain-interior nodes by NFR edge composition
+        (posegraph.compact_archive) and remap the global map's
+        archiving-KF provenance accordingly.  Loop-closure endpoints are
+        never removed, so the cap is soft under many closures."""
+        cap = self.cfg.archive_max_nodes
+        if not cap or len(self.archived_kf) <= cap:
+            return
+        from sadvio_tpu.backend import posegraph as pg
+
+        nodes, edges, remap = pg.compact_archive(
+            self.archived_kf, self.pose_graph_edges, cap)
+        if len(nodes) == len(self.archived_kf):
+            return
+        self.archived_kf = nodes
+        self.pose_graph_edges = edges
+        if self.global_map_state is not None:
+            self.global_map_state = self.global_map_state._replace(
+                src=self._remap_src(self.global_map_state.src,
+                                    jnp.asarray(remap)))
+
+    def optimize_archive(self, max_nodes=None):
         """Pose-graph optimization over the archived keyframes + the current
         window (consumes the NFR edges emitted by marginalizeRelative; the
         reference produces the factors but never ships their consumer --
         BundleAdjustmentCERESAnalytic.cpp:665-809).
+
+        max_nodes (default archive_max_nodes): nodes older than the newest
+        max_nodes are held fixed (anchors), windowing the correction;
+        together with _maybe_compact_archive this keeps the solve bounded
+        over arbitrarily long runs.
 
         Besides the persisted NFR + loop-closure edges, odometric
         continuity edges between consecutive LIVE-WINDOW nodes are
@@ -1446,13 +1532,20 @@ class StereoSLAM:
             return nodes
         R = jnp.asarray(np.stack([n[1] for n in nodes]))
         t = jnp.asarray(np.stack([np.asarray(n[2]) for n in nodes]))
-        node_mask = jnp.ones((len(nodes),), bool)
+        cap = (self.cfg.archive_max_nodes if max_nodes is None else max_nodes)
+        mask_np = np.ones((len(nodes),), bool)
+        if cap and len(nodes) > cap:
+            mask_np[: len(nodes) - cap] = False  # old nodes: fixed anchors
+        node_mask = jnp.asarray(mask_np)
         Rn, tn, _ = pg.optimize_pose_graph(R, t, node_mask, ea, eb, dx, W,
                                            emask)
         Rn, tn = np.asarray(Rn), np.asarray(tn)
         return [(ts_list[i], Rn[i], tn[i]) for i in range(len(nodes))]
 
     def reset(self):
+        # complete the trajectory log before wiping (a pending async health
+        # fetch still holds the final pre-reset frame's row)
+        self._flush_health()
         # push the live local map into the global archive before wiping:
         # the freshest good landmarks are exactly what a post-failure
         # relocalization needs (globalmap addFrame role at failure time).
@@ -1491,6 +1584,7 @@ class StereoSLAM:
                 self.global_map_state, self.window.lmk, self.lmk_desc,
                 self.window.lmk_mask,
                 src_idx=jnp.int32(len(self.archived_kf) - 1))
+            self._maybe_compact_archive()
         K, L, P = self.caps.K, self.caps.L, self.caps.P
         C = self.rig.C
         self.window = WindowState.create(K, L)
@@ -1509,6 +1603,8 @@ class StereoSLAM:
         self._cov_h = np.zeros((6, 6))
         self._have_priors = False
         self._ovf_dev = jnp.zeros((), jnp.int32)
+        self._health_pend = None
+        self._health_stale = False
         self.initialized = False
         self.vi_initialized = not self.vio
         self._ba_h = np.zeros(3)
@@ -1556,6 +1652,7 @@ class StereoSLAM:
                 name = "kf_step" if out.get("is_kf") else "track_step"
                 prof.sums[name] += dt
                 prof.counts[name] += 1
+        self._flush_health()
         if log_dir:
             self.write_logs(log_dir, n_frames=len(frames))
         return np.asarray([t for _, _, t in self.traj])
@@ -1567,6 +1664,8 @@ class StereoSLAM:
         results_posegraph.csv when pose_graph).  Explicit flush entry --
         callable from any driver loop, not just run()."""
         import os
+
+        self._flush_health()
 
         from sadvio_tpu.pipeline.euroc import write_results_csv, write_vio_csv
 

@@ -64,6 +64,69 @@ def test_edges_from_archive_roundtrip():
     assert bool(mask[0])
 
 
+def _rel_dx(Ra, ta, Rb, tb):
+    return np.asarray(geo.pose_local(jnp.asarray(Ra, jnp.float32),
+                                     jnp.asarray(ta, jnp.float32),
+                                     jnp.asarray(Rb, jnp.float32),
+                                     jnp.asarray(tb, jnp.float32)))
+
+
+def test_compose_edge_exact_measurement():
+    """Composing exact consecutive edges reproduces the direct relative
+    pose, and information never increases (conservative covariance sum)."""
+    R_gt, t_gt = _circle_poses(6)
+    R_gt, t_gt = np.asarray(R_gt), np.asarray(t_gt)
+    dx_ab = _rel_dx(R_gt[0], t_gt[0], R_gt[1], t_gt[1])
+    dx_bc = _rel_dx(R_gt[1], t_gt[1], R_gt[2], t_gt[2])
+    inf = np.eye(6) * 4.0
+    dx_ac, inf_ac = posegraph.compose_edge(dx_ab, inf, dx_bc, inf)
+    np.testing.assert_allclose(
+        dx_ac, _rel_dx(R_gt[0], t_gt[0], R_gt[2], t_gt[2]), atol=1e-5)
+    lam = np.linalg.eigvalsh(inf_ac)
+    assert lam.min() > 0  # SPD
+    assert lam.max() <= 4.0 + 1e-6  # no information manufactured
+
+
+def test_compact_archive_bounds_and_preserves_loops():
+    """Compaction removes oldest chain-interior nodes, composes their
+    edges exactly, protects loop endpoints, and emits a provenance remap."""
+    M = 12  # composed spans stay < pi (the log branch point)
+    R_gt, t_gt = _circle_poses(M, radius=3.0)
+    R_gt, t_gt = np.asarray(R_gt), np.asarray(t_gt)
+    nodes = [(float(k), R_gt[k], t_gt[k]) for k in range(M)]
+    edges = [(float(k), float(k + 1),
+              _rel_dx(R_gt[k], t_gt[k], R_gt[k + 1], t_gt[k + 1]),
+              np.eye(6) * 10.0) for k in range(M - 1)]
+    loop = (2.0, 7.0, _rel_dx(R_gt[2], t_gt[2], R_gt[7], t_gt[7]),
+            np.eye(6) * 100.0)
+    edges.append(loop)
+    n2, e2, remap = posegraph.compact_archive(nodes, edges, 5)
+    ts2 = [ts for ts, _, _ in n2]
+    assert len(n2) == 5
+    assert 0.0 in ts2 and 2.0 in ts2 and 7.0 in ts2 and 11.0 in ts2
+    # the loop edge survives verbatim
+    assert any(e[0] == 2.0 and e[1] == 7.0 for e in e2)
+    # every surviving chain edge measures the exact direct relative pose
+    pos = {ts: i for i, ts in enumerate(ts2)}
+    for ts0, ts1, dx, _ in e2:
+        a, b = int(ts0), int(ts1)
+        np.testing.assert_allclose(
+            dx, _rel_dx(R_gt[a], t_gt[a], R_gt[b], t_gt[b]), atol=1e-4)
+    # remap: removed nodes point at their surviving left neighbor
+    assert remap.shape == (M,)
+    assert remap[0] == 0 and remap[1] == 0
+    assert remap[2] == pos[2.0] and remap[3] == pos[2.0]
+    assert remap[7] == pos[7.0] and remap[8] == pos[7.0]
+    assert remap[11] == pos[11.0]
+    # the compacted graph still optimizes (consistency smoke)
+    ea, eb, dxs, W, mask = posegraph.edges_from_archive(e2, ts2)
+    Rn = jnp.asarray(np.stack([R for _, R, _ in n2]))
+    tn = jnp.asarray(np.stack([t for _, _, t in n2]))
+    Rf, tf, cost = posegraph.optimize_pose_graph(
+        Rn, tn, jnp.ones((5,), bool), ea, eb, dxs, W, mask, iters=5)
+    assert float(cost) < 1e-4  # exact edges: zero-residual fixed point
+
+
 def test_pipeline_edges_feed_posegraph(rng):
     """End-to-end: archived NFR edges from a real run optimize cleanly."""
     import dataclasses as _dc
