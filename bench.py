@@ -215,6 +215,90 @@ def bench_mesh(world, slam):
     return total, zncc, ray
 
 
+def bench_klt_production(world, slam):
+    """KLT on the per-call production protocol (one dispatch per frame,
+    value-forced two-point chain slope) -- the number comparable to rounds
+    <= 3 and to what run() actually pays per frame on-device.  Reported
+    alongside the scan number so cross-round deltas attribute to code, not
+    measurement scope (VERDICT r4 weak #5)."""
+    import jax.numpy as jnp
+    from sadvio_tpu.frontend import klt
+
+    f = world.frames[12]
+    pyr = slam._pyramids(slam._upload_images(f))
+    uv0 = slam.tracks.uv_kf[0]
+    valid = slam.tracks.valid[0]
+    tmpl = klt.template_windows_pyr(
+        slam.kf_pyr[0], uv0, slam.caps.pyr_levels, slam.caps.klt_radius)
+    d0 = jnp.asarray([0.9, -0.7], jnp.float32)
+
+    def chain(n):
+        seed = uv0 + d0
+        for _ in range(n):
+            uv, ok, _ = klt.track(
+                slam.kf_pyr[0], pyr[0], uv0, seed, valid,
+                levels=slam.caps.pyr_levels, radius=slam.caps.klt_radius,
+                engine=slam.klt_engine, tmpl_wins=tmpl)
+            seed = uv0 + d0 + 1e-9 * uv  # dependency link
+        return uv
+
+    def timed(n):
+        t0 = time.perf_counter()
+        s = float(np.asarray(_fin(chain(n))))
+        assert np.isfinite(s)
+        return time.perf_counter() - t0
+
+    timed(1)  # warm
+    dt_a = min(timed(CHAIN_A) for _ in range(REPS))
+    dt_b = min(timed(CHAIN_B) for _ in range(REPS))
+    assert dt_b > dt_a, (dt_a, dt_b)
+    return (dt_b - dt_a) * 1000.0 / (CHAIN_B - CHAIN_A)
+
+
+def bench_soak():
+    """Medium soak at reduced image shapes: kitchen-sink config (marg +
+    sparsif + global map + pose graph), 150 frames through the production
+    prefetch loop.  Guards steady-state wall drift and archive bounding on
+    the real chip."""
+    from sadvio_tpu.pipeline import synthetic
+    from sadvio_tpu.pipeline.config import Capacities, SLAMConfig
+    from sadvio_tpu.pipeline.slam import StereoSLAM
+
+    world = synthetic.make_world(seed=9, n_frames=150, width=320, height=240,
+                                 n_points=300, imu_noise=True,
+                                 trajectory="excursion", wall_x=(-5.0, 11.0))
+    frames = [f._replace(images=np.clip(f.images, 0, 255).astype(np.uint8))
+              for f in world.frames]
+    cfg = SLAMConfig(
+        slam_mode="bimonovio", max_kf_number=5, min_lmk_number=30,
+        max_movement_parallax=0.6, min_movement_parallax=0.02,
+        global_map=True, pose_graph=True, archive_max_nodes=24,
+        caps=Capacities(K=6, L=256, P=24, pyr_levels=3, klt_radius=5))
+    slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
+    slam.run(frames[:30])  # warm
+    per_frame = []
+    tail = frames[30:]
+    pending = slam._upload_images(tail[0])
+    for i, f in enumerate(tail):
+        tf = time.perf_counter()
+        nxt = tail[i + 1] if i + 1 < len(tail) else None
+        slam.process_frame(f, images_dev=pending, prefetch_frame=nxt)
+        pending = slam._prefetched
+        per_frame.append((time.perf_counter() - tf) * 1000.0)
+    jax.block_until_ready(slam.t_cur)
+    slam._flush_health()
+    est = np.asarray([t for _, _, t in slam.traj])
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    first = float(np.median(per_frame[:40]))
+    last = float(np.median(per_frame[-40:]))
+    return {
+        "soak_wall_ms_median": round(float(np.median(per_frame)), 2),
+        "soak_wall_drift_ratio": round(last / max(first, 1e-9), 3),
+        "soak_ate_mm": round(ate * 1000.0, 2),
+        "soak_archived_nodes": len(slam.archived_kf),
+    }
+
+
 def bench_frame_device(world, slam):
     """Dependency-chained DEVICE compute of the frame-rate path
     (pyramids + the fused track/predict/filter/ESKF kernel) -- the number
@@ -286,8 +370,16 @@ def bench_e2e():
     return ate * 1000.0, wall_ms, float(np.median(per_frame)), slam, world
 
 
+# per-metric measurement protocols (VERDICT r4 weak #5: cross-round deltas
+# must attribute to code, not measurement-scope changes)
+PROTO_SCAN = "scan-slope"          # lax.scan chained, single dispatch
+PROTO_CHAIN = "per-call-chain"     # one dispatch per call, value-forced
+PROTO_WALL = "wall-clock-loop"     # production loop, host timers
+
+
 def main():
     sub = {}
+    proto = {"vio_window_ba_ms_per_iter_w10_l512": PROTO_CHAIN}
     ms_per_iter = bench_ba()
 
     slam = world = None
@@ -296,25 +388,44 @@ def main():
         sub["e2e_synth_ate_mm"] = round(ate_mm, 3)
         sub["e2e_wall_ms_per_frame"] = round(wall_ms, 2)
         sub["e2e_wall_ms_median"] = round(med_ms, 2)
+        proto["e2e_wall_ms_per_frame"] = PROTO_WALL
+        proto["e2e_wall_ms_median"] = PROTO_WALL
     except Exception as e:  # pragma: no cover - fault isolation
         sub["e2e_error"] = str(e)[:120]
     if slam is not None:
         try:
             sub["e2e_device_ms_per_frame"] = round(
                 bench_frame_device(world, slam), 3)
+            proto["e2e_device_ms_per_frame"] = PROTO_SCAN
         except Exception as e:  # pragma: no cover
             sub["e2e_device_error"] = str(e)[:120]
         try:
             sub["klt_ms_l512"] = round(bench_klt(world, slam), 3)
+            proto["klt_ms_l512"] = PROTO_SCAN
         except Exception as e:  # pragma: no cover
             sub["klt_error"] = str(e)[:120]
+        try:
+            sub["klt_ms_l512_production"] = round(
+                bench_klt_production(world, slam), 3)
+            proto["klt_ms_l512_production"] = PROTO_CHAIN
+        except Exception as e:  # pragma: no cover
+            sub["klt_production_error"] = str(e)[:120]
         try:
             mesh_total, zncc_ms, ray_ms = bench_mesh(world, slam)
             sub["mesh_kf_ms"] = round(mesh_total, 3)
             sub["zncc_ms"] = round(zncc_ms, 3)
             sub["raycast_ms"] = round(ray_ms, 3)
+            for k in ("mesh_kf_ms", "zncc_ms", "raycast_ms"):
+                proto[k] = PROTO_SCAN
         except Exception as e:  # pragma: no cover
             sub["mesh_error"] = str(e)[:120]
+    try:
+        soak = bench_soak()
+        sub.update(soak)
+        for k in soak:
+            proto[k] = PROTO_WALL
+    except Exception as e:  # pragma: no cover
+        sub["soak_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "vio_window_ba_ms_per_iter_w10_l512",
@@ -322,6 +433,7 @@ def main():
         "unit": "ms/iter",
         "vs_baseline": round(BASELINE_MS_PER_ITER / ms_per_iter, 3),
         "protocol": PROTOCOL,
+        "protocols": proto,
         "submetrics": sub,
     }))
 

@@ -95,17 +95,23 @@ def shard_problem(problem: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
     )
 
 
-def ba_solve_sharded(problem: ba.BAProblem, opts: ba.BAOptions, mesh: Mesh):
+def ba_solve_sharded(problem: ba.BAProblem, opts: ba.BAOptions, mesh: Mesh,
+                     shard_dense: bool = False):
     """Distributed window BA: same solver, GSPMD-partitioned over the mesh.
 
     jit infers the partitioning from the argument shardings; no explicit
     collectives are written -- XLA inserts the psum over the lmk axis when the
     reduced system contracts over L.
 
-    The dense small-factor tangent sweep (the replicated t_red term of the
-    scaling model) is additionally sharded over the same axis via
-    opts.dense_shard, so the per-iteration work that does NOT scale with L
-    still divides across the mesh (SCALING.md; round-5 efficiency item).
+    shard_dense=True additionally shards the dense small-factor Jacobian's
+    residual-row axis over the mesh (BAOptions.dense_shard), dividing the
+    replicated t_red term -- but the GSPMD-partitioned factor graph pays
+    ~5 MB/iter of resharding collectives for it (measured, SCALING.md), a
+    wash at the benchmark window size.  For fixed-window scaling use the
+    composite DP x lmk mesh (parallel.multiseq.make_composite_mesh)
+    instead; shard_dense is kept for large-K windows where t_dense grows
+    quadratically and the trade flips.
     """
-    opts = opts.replace(dense_shard=NamedSharding(mesh, P("lmk")))
+    if shard_dense:
+        opts = opts.replace(dense_shard=NamedSharding(mesh, P("lmk", None)))
     return ba.ba_solve(shard_problem(problem, mesh), opts)

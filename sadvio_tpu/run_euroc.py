@@ -42,6 +42,15 @@ def main(argv=None):
     if len(argv) < 2:
         print(__doc__)
         return 2
+    # in-process platform override: this machine's sitecustomize force-sets
+    # jax_platforms at boot (the JAX_PLATFORMS env var is overridden), so a
+    # subprocess that must run on CPU (e.g. the comparison protocol's
+    # dry-test) needs an explicit config update before backend init
+    plat = os.environ.get("SADVIO_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     config_dir, data_dir = argv[0], argv[1]
     max_frames = int(argv[2]) if len(argv) > 2 else None
 

@@ -102,3 +102,41 @@ def test_run_euroc_cli(euroc_dir, tmp_path, monkeypatch):
     last = np.asarray([float(x) for x in rows[-1].split(",")[1:]]).reshape(3, 4)
     assert np.isfinite(last).all()
     assert np.linalg.norm(last[:, 3]) < 2.0  # world spans < 1 m
+
+
+def test_compare_euroc_protocol(euroc_dir, tmp_path, monkeypatch):
+    """Dry-run of the one-command comparison protocol on the fabricated
+    dataset: sadvio row with ATE vs a fabricated EuRoC ground-truth csv.
+    (The reference row needs the reference binary, absent here.)"""
+    import json
+    import sys
+
+    cfgd, data_dir, world = euroc_dir
+    # the subprocess must stay off the tunneled TPU (see run_euroc.main's
+    # SADVIO_PLATFORM override; env vars alone are force-overridden here)
+    monkeypatch.setenv("SADVIO_PLATFORM", "cpu")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import compare_euroc
+
+    # fabricate mav0/state_groundtruth_estimate0 from the synthetic truth,
+    # in the estimator gauge (world = first body frame), EuRoC ns stamps
+    gt_dir = os.path.join(data_dir, "mav0", "state_groundtruth_estimate0")
+    os.makedirs(gt_dir, exist_ok=True)
+    R0, t0 = world.gt_R[0], world.gt_t[0]
+    rows = ["#ts,px,py,pz,qw,qx,qy,qz"]
+    for i, f in enumerate(world.frames):
+        p = R0.T @ (world.gt_t[i] - t0)
+        rows.append(f"{int((1.0 + f.ts) * 1e9)},{p[0]},{p[1]},{p[2]},1,0,0,0")
+    with open(os.path.join(gt_dir, "data.csv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+
+    out = tmp_path / "cmp"
+    rc = compare_euroc.main([
+        "--dataset", data_dir, "--config", cfgd, "--out", str(out)])
+    assert rc == 0
+    table = json.loads((out / "comparison.json").read_text())
+    assert table[0]["system"] == "sadvio_tpu"
+    assert table[0]["frames"] >= 20
+    assert table[0]["fps"] > 0
+    assert table[0]["ate_m"] is not None and table[0]["ate_m"] < 0.1
+    assert table[0]["gt_pairs"] >= 3

@@ -100,6 +100,32 @@ def test_multiseq_batch_matches_individual():
                                    atol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_composite_dp_lmk_mesh_matches_individual():
+    """Composite (seq, lmk) mesh: DP over sequences with landmark sharding
+    inside each -- the fixed-window-size scaling configuration.  Results
+    must match per-problem single-device solves."""
+    import __graft_entry__ as g
+    from sadvio_tpu.parallel import multiseq
+
+    B = 4
+    problems = [g._tiny_problem(K=4, C=2, L=64, P=8, seed=s) for s in range(B)]
+    opts = ba.BAOptions(iters=3)
+
+    batched = multiseq.stack_problems(problems)
+    mesh = multiseq.make_composite_mesh(4, 2)
+    bstate, bstats = multiseq.ba_solve_batch(batched, opts, mesh)
+    states = multiseq.unstack_states(bstate, B)
+
+    for i in (0, 2, 3):
+        ref, _ = ba.ba_solve(problems[i], opts)
+        np.testing.assert_allclose(np.asarray(states[i].t), np.asarray(ref.t),
+                                   atol=1e-4)
+        lm = np.asarray(ref.lmk_mask)
+        np.testing.assert_allclose(np.asarray(states[i].lmk)[lm],
+                                   np.asarray(ref.lmk)[lm], atol=1e-3)
+
+
 def test_pipeline_parallel_executor():
     """PP axis: the backend executor solves on its device and returns the
     same state as an inline solve; submit is non-blocking by construction."""

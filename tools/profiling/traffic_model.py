@@ -60,13 +60,9 @@ def phase_hlo():
     DT = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
           "pred": 1, "s8": 1, "u8": 1}
     res = {}
-    for n in (2, 4, 8):
-        problem = _tiny_problem(K=K, C=2, L=L_BIG, P=P)
-        mesh = sharding.make_mesh(n)
-        sharded = sharding.shard_problem(problem, mesh)
-        opts = ba.BAOptions(iters=1)
-        txt = jax.jit(ba.ba_solve, static_argnums=1).lower(
-            sharded, opts).compile().as_text()
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def count(txt):
         total = 0
         ops = []
         for line in txt.splitlines():
@@ -83,9 +79,33 @@ def phase_hlo():
                     "all-gather" if "all-gather(" in line else "reduce-scatter")
             total += nbytes
             ops.append({"kind": kind, "bytes": nbytes})
-        res[str(n)] = {"bytes_per_iter": total, "n_collectives": len(ops),
-                       "ops": ops[:16]}
-        print(f"n={n}: {len(ops)} collectives, {total/1e6:.3f} MB/LM-iter")
+        return total, ops
+
+    for n in (2, 4, 8):
+        problem = _tiny_problem(K=K, C=2, L=L_BIG, P=P)
+        mesh = sharding.make_mesh(n)
+        sharded = sharding.shard_problem(problem, mesh)
+        row = {}
+        for tag, ds in (("lmk_only", None),
+                        ("dense_sharded",
+                         NamedSharding(mesh, PartitionSpec("lmk", None)))):
+            # per-LM-iteration bytes = program(iters=2) - program(iters=1)
+            # (isolates the scan body from one-time prologue collectives)
+            byt = {}
+            for it in (1, 2):
+                opts = ba.BAOptions(iters=it, dense_shard=ds)
+                txt = jax.jit(ba.ba_solve, static_argnums=1).lower(
+                    sharded, opts).compile().as_text()
+                byt[it], ops = count(txt)
+            per_iter = max(byt[2] - byt[1], 0)
+            row[tag] = {"bytes_per_iter": per_iter,
+                        "bytes_total_1iter": byt[1],
+                        "n_collectives": len(ops)}
+            print(f"n={n} {tag}: {per_iter/1e6:.3f} MB/LM-iter "
+                  f"({byt[1]/1e6:.3f} MB one-time+first)")
+        # legacy key consumed by phase_model
+        row["bytes_per_iter"] = row["lmk_only"]["bytes_per_iter"]
+        res[str(n)] = row
     OUT.mkdir(exist_ok=True)
     (OUT / "hlo.json").write_text(json.dumps(res, indent=1))
 
@@ -117,6 +137,66 @@ def _measure_ms_per_iter(L):
     return (b - a) * 1000.0 / (4 * ITERS)
 
 
+def _measure_dense_parts():
+    """Split the replicated intercept t_red into its two components at a
+    near-zero landmark count (L=8):
+
+    * dense_ms -- ba._linearize: the small-factor tangent sweep + H
+      assembly.  This part NOW SHARDS over the mesh (BAOptions.dense_shard
+      shards the jacfwd basis), so it divides by n in the refined model.
+    * solve_ms -- ba._solve_from_lin: damping + masking + the (K*D+3P)
+      Cholesky.  Irreducibly replicated (every device needs the full dx).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _tiny_problem
+    from sadvio_tpu.backend import ba
+
+    problem = _tiny_problem(K=K, C=2, L=8, P=P)
+    opts = ba.BAOptions(iters=1)
+    free = ba._free_mask(problem)
+    lin_fn = jax.jit(ba._linearize)
+    solve_fn = jax.jit(ba._solve_from_lin)
+
+    def chain_lin(n):
+        state = problem.state
+        c = jnp.float32(0.0)
+        for _ in range(n):
+            p = problem._replace(state=state.replace(t=state.t + 1e-12 * c))
+            lin = lin_fn(p, opts)
+            c = lin.cost
+        return c
+
+    lin0 = lin_fn(problem, opts)
+
+    def chain_solve(n):
+        c = jnp.float32(0.0)
+        for _ in range(n):
+            dxd, dl, ok = solve_fn(
+                lin0._replace(b=lin0.b + 1e-12 * c), problem, opts, free,
+                jnp.float32(1e-4))
+            c = jnp.sum(dxd)
+        return c
+
+    def slope(chain, n_a=5, n_b=25):
+        float(np.asarray(chain(1)))  # compile + warm
+
+        def timed(n):
+            t0 = time.perf_counter()
+            s = float(np.asarray(chain(n)))
+            assert np.isfinite(s)
+            return time.perf_counter() - t0
+
+        a = min(timed(n_a) for _ in range(3))
+        b = min(timed(n_b) for _ in range(3))
+        assert b > a, (a, b)
+        return (b - a) * 1000.0 / (n_b - n_a)
+
+    return slope(chain_lin), slope(chain_solve)
+
+
 def phase_time():
     import jax
 
@@ -125,6 +205,11 @@ def phase_time():
         ms = _measure_ms_per_iter(L)
         res[str(L)] = ms
         print(f"K={K} L={L}: {ms:.4f} ms/LM-iter")
+    dense_ms, solve_ms = _measure_dense_parts()
+    res["dense_ms"] = dense_ms
+    res["solve_ms"] = solve_ms
+    print(f"dense linearize (shardable): {dense_ms:.4f} ms;"
+          f" reduced solve (replicated): {solve_ms:.4f} ms")
     OUT.mkdir(exist_ok=True)
     (OUT / "time.json").write_text(json.dumps(res, indent=1))
 
@@ -135,28 +220,58 @@ def phase_model():
     t_big, t_small = tim[str(L_BIG)], tim[str(L_SMALL)]
     per_lmk_ms = (t_big - t_small) / (L_BIG - L_SMALL)
     t_lmk = per_lmk_ms * L_BIG            # shards 1/n
-    t_red = t_big - t_lmk                 # replicated (solve + overhead)
+    t_red = t_big - t_lmk                 # intercept: everything not ~L
+    # split of the intercept (measured standalone at L=8):
+    #   dense linearize -> shards 1/n with BAOptions.dense_shard
+    #   reduced solve   -> irreducibly replicated
+    t_dense = min(tim.get("dense_ms", 0.0), max(t_red - 0.05, 0.0))
+    t_fix = t_red - t_dense
     rows = []
     for n in (1, 2, 4, 8, 16):
-        B = hlo.get(str(min(n, 8)), hlo["8"])["bytes_per_iter"]
+        h = hlo.get(str(min(n, 8)), hlo["8"])
+        B = h["bytes_per_iter"]
+        B_ds = h.get("dense_sharded", {}).get("bytes_per_iter", B)
         for bw, link in ((BW_ICI, "ici"), (BW_DCN, "dcn")):
             t_coll = 0.0 if n == 1 else 2 * B * (n - 1) / n / bw * 1e3
+            t_coll_ds = 0.0 if n == 1 else 2 * B_ds * (n - 1) / n / bw * 1e3
+            # production lmk-only sharding: dense part replicated
             t_n = t_lmk / n + t_red + t_coll
-            eff = t_big / (n * t_n)
-            rows.append({"n": n, "link": link, "ms_per_iter": round(t_n, 4),
-                         "coll_ms": round(t_coll, 4), "efficiency": round(eff, 3)})
+            # shard_dense=True variant: dense rows shard but pay resharding
+            t_n_ds = (t_lmk + t_dense) / n + t_fix + t_coll_ds
+            rows.append({
+                "n": n, "link": link,
+                "ms_per_iter": round(t_n, 4),
+                "coll_ms": round(t_coll, 4),
+                "efficiency": round(t_big / (n * t_n), 3),
+                "ms_per_iter_dense_sharded": round(t_n_ds, 4),
+                "coll_ms_dense_sharded": round(t_coll_ds, 4),
+                "efficiency_dense_sharded": round(t_big / (n * t_n_ds), 3),
+            })
+    # composite DP x lmk mesh at fixed window size: the seq axis is
+    # embarrassingly parallel (multiseq.ba_solve_batch, zero collectives),
+    # so E(dp x nl) = E_lmk(nl) under load balance
+    comp = []
+    for dp, nl in ((2, 1), (4, 2), (2, 4), (8, 2), (4, 4)):
+        r = next(x for x in rows if x["n"] == nl and x["link"] == "ici")
+        comp.append({"mesh": f"{dp}x{nl}", "chips": dp * nl,
+                     "efficiency": r["efficiency"] if nl > 1 else 1.0})
     model = {
         "shapes": {"K": K, "L": L_BIG, "P": P},
         "measured_ms_per_iter_1chip": round(t_big, 4),
         "t_lmk_ms": round(t_lmk, 4), "t_red_ms": round(t_red, 4),
+        "t_dense_ms": round(t_dense, 4), "t_fix_ms": round(t_fix, 4),
+        "dense_ms_standalone": round(tim.get("dense_ms", 0.0), 4),
+        "solve_ms_standalone": round(tim.get("solve_ms", 0.0), 4),
         "bytes_per_iter": {n: v["bytes_per_iter"] for n, v in hlo.items()},
         "bw_ici": BW_ICI, "bw_dcn": BW_DCN,
         "platform": tim["platform"],
         "rows": rows,
+        "composite_dp_lmk": comp,
     }
     (OUT / "model.json").write_text(json.dumps(model, indent=1))
     for r in rows:
         print(r)
+    print("composite:", comp)
 
 
 if __name__ == "__main__":
