@@ -309,17 +309,16 @@ def bench_frame_device(world, slam):
     f = world.frames[16]
     img_dev = slam._upload_images(
         f._replace(images=np.clip(f.images, 0, 255).astype(np.uint8)))
-    key = slam._next_key()
-    eskf_on = jnp.asarray(True)
+    key = slam.key
     pre_cov = slam.pre_cur.cov
     v_pred = slam.v_cur
 
     def link(tracks, img):
         pyr = slam._pyramids(img)
-        tracks, _, _, health = slam._frontend(
+        tracks, _, _, health, _, _, _ = slam._frontend(
             slam.kf_pyr, pyr, tracks, slam.window, slam.R_cur, slam.t_cur,
-            key, kf_tmpl=slam.kf_tmpl, eskf_on=eskf_on, pre_cov=pre_cov,
-            v_pred=v_pred)
+            key, kf_tmpl=slam.kf_tmpl, eskf_on=True, pre_cov=pre_cov,
+            v_pred=v_pred, R_cur=slam.R_cur, t_cur=slam.t_cur)
         return tracks, health
 
     def step(tracks, e):

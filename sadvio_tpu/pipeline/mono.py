@@ -168,7 +168,7 @@ class MonoSLAM(StereoSLAM):
         self.tracks = TrackState(
             uv=uv1[None], valid=good[None], uv_kf=uv1[None], has3d=good,
         )
-        self.pre_cur = imu_mod.Preintegration.identity()
+        self.pre_cur = self._pre_id
         self.kf_pyr = pyr_new
         self.n_kf = 2
         self.R_cur, self.t_cur = R1, t1
@@ -194,6 +194,7 @@ class MonoSLAM(StereoSLAM):
         # ext_det (csv) and gm/lmk_desc (descriptor global map) are
         # stereo-pipeline features; accepted but unused here
         cam0 = _cam0(self.rig)
+        key, key_next = jax.random.split(key)
         L = self.caps.L
         img0 = pyr_new[0][0]
 
@@ -297,7 +298,7 @@ class MonoSLAM(StereoSLAM):
             uv=new_uv0[None], valid=new_v0[None], uv_kf=new_uv0[None],
             has3d=window.lmk_mask,
         )
-        return tracks, window, obs, imu_chain
+        return tracks, window, obs, imu_chain, key_next
 
     # ------------------------------------------------------------------
     # frame loop: mono bootstrap + optional VIInit

@@ -92,7 +92,10 @@ class StereoSLAM:
             uv=jnp.zeros((C, L, 2)), valid=jnp.zeros((C, L), bool),
             uv_kf=jnp.zeros((C, L, 2)), has3d=jnp.zeros((L,), bool),
         )
-        self.pre_cur = imu_mod.Preintegration.identity()
+        # cached identity preintegration: re-creating it is ~10 eager array
+        # constructions per keyframe (immutable pytree -- safe to share)
+        self._pre_id = imu_mod.Preintegration.identity()
+        self.pre_cur = self._pre_id
         self._imu_n = 0  # host-side count of samples in pre_cur
         # current-frame estimate
         self.R_cur = jnp.eye(3)
@@ -248,17 +251,38 @@ class StereoSLAM:
         """12-float pose pack: ONE device->host fetch instead of two."""
         return jnp.concatenate([R.reshape(-1), t])
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _pack_state(self, window, slot, ovf):
-        """22-float KF state pack (R,t,v,ba,bg + keep-overflow count): one
-        fetch refreshes every host mirror at keyframe rate.  The overflow
-        count riding this pack is what lets the marg branch surface prior
-        degradation without a blocking fetch of its own."""
+    @partial(jax.jit, static_argnames=("self", "vio"))
+    def _roll_pack(self, window, obs, imu, vio):
+        """55-float roll-time pack: the leaving KF's pose (12) + the NFR
+        relative edge dx(6) + info(36) + shared-count(1).  ONE fetch per
+        window roll instead of three (pose, n_sh gate, edge arrays) -- each
+        separate fetch is a full RPC round trip on a tunneled device."""
+        from sadvio_tpu.backend import marginalization as marg_mod
+
+        dx_e, inf_e, n_sh = marg_mod.marginalize_relative(
+            window, obs, self.rig, imu, self._ba_opts, vio=vio)
         return jnp.concatenate([
+            window.R[0].reshape(-1), window.t[0], dx_e, inf_e.reshape(-1),
+            n_sh.astype(jnp.float32)[None],
+        ])
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _pack_state(self, window, slot, ovf, ba_cost, gm_counts=None):
+        """23/25-float KF state pack (R,t,v,ba,bg + keep-overflow count +
+        BA cost [+ global-map resurrection counts]): ONE fetch refreshes
+        every host mirror at keyframe rate -- the riders are what let the
+        marg/backend/global-map stages surface their scalars without a
+        blocking fetch each (a separate int()/float() costs a full RPC
+        round trip on a tunneled device)."""
+        parts = [
             window.R[slot].reshape(-1), window.t[slot], window.v[slot],
             window.ba[slot], window.bg[slot],
             ovf.astype(jnp.float32)[None],
-        ])
+            jnp.reshape(ba_cost, (1,)).astype(jnp.float32),
+        ]
+        if gm_counts is not None:
+            parts.append(gm_counts.astype(jnp.float32).reshape(-1))
+        return jnp.concatenate(parts)
 
     def _upload_images(self, frame):
         """Host->device image transfer in the provider's dtype.
@@ -275,7 +299,7 @@ class StereoSLAM:
     @partial(jax.jit, static_argnames=("self",))
     def _frontend(self, pyr_kf, pyr_new, tracks: TrackState, window, R_pred,
                   t_pred, key, kf_tmpl=None, eskf_on=False, pre_cov=None,
-                  v_pred=None):
+                  v_pred=None, R_cur=None, t_cur=None):
         """Track cam0 from the last-KF template, PnP-predict, epipolar-gate.
 
         Tracking is always keyframe->current (slamCore.cpp:339 trackFeatures
@@ -285,8 +309,15 @@ class StereoSLAM:
         IMU-predicted pose prior (covariance from the preintegration, pre_cov)
         with the gated landmark reprojections -- the reference's frame-rate
         ESKF update (slamBiMonoVIO.cpp:409-419, ESKFEstimator.cpp:66-178).
+
+        Host-RPC discipline: the PRNG key splits INSIDE the kernel (key_next
+        is returned -- an eager jax.random.split costs ~80 ms per frame on
+        the tunneled device), and the constant-velocity dT update
+        (pose_inverse/compose of R_cur -> R_new) is fused here instead of
+        running as eager Lie ops in the frame loop.
         """
         cam0 = _cam0(self.rig)
+        key, key_next = jax.random.split(key)
         if v_pred is None:
             v_pred = jnp.zeros(3)
         # KLT init: project landmarks with the predicted pose (predictFeature,
@@ -460,7 +491,13 @@ class StereoSLAM:
             R_new.reshape(-1), t_new, v_pred,
             P_frame.reshape(-1),  # 36 floats; rides the same single fetch
         ])
-        return tracks, R_new, t_new, health
+        # fused constant-velocity model update (dT = T_cur^-1 T_new)
+        if R_cur is None:
+            dR, dt_ = jnp.eye(3), jnp.zeros(3)
+        else:
+            Ri, ti = geo.pose_inverse(R_cur, t_cur)
+            dR, dt_ = geo.pose_compose(Ri, ti, R_new, t_new)
+        return tracks, R_new, t_new, health, dR, dt_, key_next
 
     @partial(jax.jit, static_argnames=("self",))
     def _insert_kf(self, pyr_new, tracks: TrackState, window, obs, imu_chain,
@@ -481,8 +518,12 @@ class StereoSLAM:
         factor (>1 s inter-KF gap, AOptimizer.cpp:68-70).  Computed on the
         HOST in float64: epoch-scale timestamps (~1.4e9 s on EuRoC/ROS)
         quantize to 128 s steps in the device's float32 ts chain, so a
-        device-side subtraction cannot resolve a 1 s threshold."""
+        device-side subtraction cannot resolve a 1 s threshold.
+
+        Returns (..., key_next): the PRNG key advances in-kernel (eager
+        splits cost ~80 ms on the tunneled device)."""
         cam0 = _cam0(self.rig)
+        key, key_next = jax.random.split(key)
         cam1 = _cam(self.rig, 1)
         L = self.caps.L
         img0 = pyr_new[0][0]
@@ -656,8 +697,9 @@ class StereoSLAM:
             sm0 = detect.smooth3(img0)
             desc_new = detect.brief_describe(sm0, new_uv0)
             lmk_desc = jnp.where(new_v0[:, None], desc_new, lmk_desc)
-            return tracks, window, obs, imu_chain, lmk_desc, n_gm_res, gm_pack
-        return tracks, window, obs, imu_chain
+            return (tracks, window, obs, imu_chain, lmk_desc, n_gm_res,
+                    gm_pack, key_next)
+        return tracks, window, obs, imu_chain, key_next
 
     @partial(jax.jit, static_argnames=("self",))
     def _backend(self, window, obs, imu_chain, priors, fixed_n, lines=None):
@@ -965,13 +1007,14 @@ class StereoSLAM:
             ins = self._insert_kf(
                 pyr_new, self.tracks, self.window, self.obs, self.imu,
                 self.pre_cur, R0, t0, jnp.zeros(3),
-                jnp.float32(frame.ts), self._next_key(), 0,
+                float(frame.ts), self.key, 0,
                 ext_det=self._csv_det(frame),
                 gm=self.global_map_state, lmk_desc=self.lmk_desc,
             )
+            self.key = ins[-1]
             if self.global_map_state is not None:
                 (self.tracks, self.window, self.obs, self.imu,
-                 self.lmk_desc, gm_counts, gm_pack) = ins
+                 self.lmk_desc, gm_counts, gm_pack, _) = ins
                 counts_h = np.asarray(gm_counts)
                 out["gm_resurrected"] = int(counts_h[0])
                 # the relocalized bootstrap KF is the strongest closure
@@ -985,9 +1028,9 @@ class StereoSLAM:
                     if lc is not None:
                         out["loop_closure"] = lc
             else:
-                self.tracks, self.window, self.obs, self.imu = ins
+                self.tracks, self.window, self.obs, self.imu, _ = ins
             self.n_kf = 1
-            self.pre_cur = imu_mod.Preintegration.identity()
+            self.pre_cur = self._pre_id
             self._imu_n = 0
             self.kf_pyr = pyr_new
             self.kf_tmpl = self._template_cache(pyr_new, self.tracks.uv_kf[0])
@@ -1006,13 +1049,15 @@ class StereoSLAM:
         R_pred, t_pred, v_pred = self._predict_pose(frame)
         if prof:
             prof.tic()
-        (self.tracks, R_new, t_new, health) = self._frontend(
+        (self.tracks, R_new, t_new, health, dR_cv, dt_cv,
+         key_next) = self._frontend(
             self.kf_pyr, pyr_new, self.tracks, self.window,
-            R_pred, t_pred, self._next_key(), kf_tmpl=self.kf_tmpl,
-            eskf_on=jnp.asarray(self.vi_initialized and self._imu_n > 0),
+            R_pred, t_pred, self.key, kf_tmpl=self.kf_tmpl,
+            eskf_on=bool(self.vi_initialized and self._imu_n > 0),
             pre_cov=self.pre_cur.cov if self.vio else None,
-            v_pred=v_pred,
+            v_pred=v_pred, R_cur=self.R_cur, t_cur=self.t_cur,
         )
+        self.key = key_next
         # health fetch: the single mandatory device->host readback of the
         # frame loop.  In the steady state it is harvested ASYNCHRONOUSLY --
         # the D2H copy starts now and is consumed next frame, so no frame
@@ -1047,9 +1092,8 @@ class StereoSLAM:
             prof.toc("track_predict_filter")
         ts_h, health_h, R_h, t_h = self._last_health
         pnp_ok_h = bool(health_h[0] > 0.5)
-        # constant-velocity update (device refs; exact regardless of lag)
-        Ri, ti = geo.pose_inverse(self.R_cur, self.t_cur)
-        self.dT = geo.pose_compose(Ri, ti, R_new, t_new)
+        # constant-velocity update (computed inside _frontend; device refs)
+        self.dT = (dR_cv, dt_cv)
         self.R_cur, self.t_cur, self.v_cur = R_new, t_new, v_pred
         out["pose"] = (R_h, t_h)
         out["pose_ts"] = ts_h  # == frame.ts unless async-lagged by one
@@ -1097,30 +1141,35 @@ class StereoSLAM:
             # archive the leaving KF (GlobalMap::addFrame role); optionally
             # condense its links to the next KF into an NFR pose-graph edge.
             # Timestamps come from the host-side mirror (a device ts fetch is
-            # a full RPC round trip); the pose is one packed fetch.
-            pk0 = np.asarray(self._pack_pose(self.window.R[0], self.window.t[0]))
-            self.archived_kf.append((self.kf_ts[0], pk0[:9].reshape(3, 3), pk0[9:]))
+            # a full RPC round trip); pose + edge ride ONE packed fetch.
             if self.cfg.pose_graph:
                 if prof:
                     prof.tic()
-                dx_e, inf_e, n_sh = marg.marginalize_relative(
-                    self.window, self.obs, self.rig, self.imu,
-                    self._ba_opts, vio=self.vio and self.vi_initialized,
-                )
-                if int(n_sh) > 0:
+                pk0 = np.asarray(self._roll_pack(
+                    self.window, self.obs, self.imu,
+                    self.vio and self.vi_initialized))
+                self.archived_kf.append(
+                    (self.kf_ts[0], pk0[:9].reshape(3, 3), pk0[9:12].copy()))
+                if pk0[54] > 0:  # shared-landmark count: edge informative
                     from sadvio_tpu.backend import posegraph as pg
 
                     # weight the edge by the endpoints' frame-rate ESKF
                     # covariance (the reference's _dT_cov role): a
                     # high-uncertainty keyframe yields a weaker edge
                     inf_np = pg.inflate_edge_info(
-                        np.asarray(inf_e), self.kf_cov[0], self.kf_cov[1])
+                        pk0[18:54].reshape(6, 6), self.kf_cov[0],
+                        self.kf_cov[1])
                     self.pose_graph_edges.append((
                         self.kf_ts[0], self.kf_ts[1],
-                        np.asarray(dx_e), inf_np,
+                        pk0[12:18].copy(), inf_np,
                     ))
                 if prof:
                     prof.toc("nfr_edge")
+            else:
+                pk0 = np.asarray(self._pack_pose(
+                    self.window.R[0], self.window.t[0]))
+                self.archived_kf.append(
+                    (self.kf_ts[0], pk0[:9].reshape(3, 3), pk0[9:]))
             if prof:
                 prof.tic()
             mr = self._marg_roll(
@@ -1128,7 +1177,7 @@ class StereoSLAM:
                 self.vio and self.vi_initialized,
                 gm=self.global_map_state, lmk_desc=self.lmk_desc,
                 # the KF being rolled out was just appended to archived_kf
-                arch_idx=jnp.int32(len(self.archived_kf) - 1),
+                arch_idx=len(self.archived_kf) - 1,
             )
             if self.global_map_state is not None:
                 (self.window, self.obs, self.imu, self.priors, self.tracks,
@@ -1159,38 +1208,26 @@ class StereoSLAM:
         gap_ok = (not self.kf_ts) or (frame.ts - self.kf_ts[-1]) <= 1.0
         ins = self._insert_kf(
             pyr_new, self.tracks, self.window, self.obs, self.imu,
-            self.pre_cur, R_new, t_new, v_pred, jnp.float32(frame.ts),
-            self._next_key(), slot, ext_det=self._csv_det(frame),
+            self.pre_cur, R_new, t_new, v_pred, float(frame.ts),
+            self.key, slot, ext_det=self._csv_det(frame),
             gm=self.global_map_state, lmk_desc=self.lmk_desc,
-            imu_gap_ok=jnp.asarray(gap_ok),
+            imu_gap_ok=bool(gap_ok),
         )
+        self.key = ins[-1]
         if self.global_map_state is not None:
             (self.tracks, self.window, self.obs, self.imu, self.lmk_desc,
-             gm_counts, gm_pack) = ins
-            counts_h = np.asarray(gm_counts)  # [claimed, pack hits]: 1 fetch
-            out["gm_resurrected"] = int(counts_h[0])
-            # loop closure: a burst of descriptor resurrections is a revisit
-            # signal -- solve PnP of this KF against the archived positions
-            # and emit a pose-graph edge to the archiving keyframe, so
-            # optimize_archive can actually close accumulated drift (the
-            # natural consumer of the globalmap+posegraph pair; the
-            # reference archives but never closes).  The pack-hit count
-            # gates the (blocking) gm_pack fetch so non-revisit keyframes
-            # never pay it.
-            if (self.cfg.pose_graph and self.archived_kf
-                    and int(counts_h[1]) >= self.cfg.lc_min_hits):
-                lc = self._try_loop_closure(gm_pack, frame.ts, R_new, t_new)
-                out["lc_diag"] = self._lc_diag
-                if lc is not None:
-                    out["loop_closure"] = lc
+             gm_counts, gm_pack, _) = ins
+            # resurrection counts ride the post-BA _pack_state fetch; the
+            # loop-closure gate is evaluated there (one RPC per KF less)
         else:
-            self.tracks, self.window, self.obs, self.imu = ins
+            self.tracks, self.window, self.obs, self.imu, _ = ins
+            gm_counts = gm_pack = None
         self.n_kf += 1
         self.kf_ts.append(frame.ts)
         self.kf_cov.append(self._cov_h)
         self.kf_pyr = pyr_new
         self.kf_tmpl = self._template_cache(pyr_new, self.tracks.uv_kf[0])
-        self.pre_cur = imu_mod.Preintegration.identity().replace(
+        self.pre_cur = self._pre_id.replace(
             ba_lin=self.window.ba[slot], bg_lin=self.window.bg[slot]
         )
         self._imu_n = 0
@@ -1207,7 +1244,7 @@ class StereoSLAM:
             if prof:
                 prof.tic()
             out.update(self._line_ch.on_keyframe_pre_ba(
-                pyr_new[0][0], pyr_new[1][0], R_new, t_new, jnp.int32(slot)))
+                pyr_new[0][0], pyr_new[1][0], R_new, t_new, slot))
             ba_lines = self._line_ch.ba_block()
             if prof:
                 prof.toc("line_channel", block=ba_lines.ends)
@@ -1234,6 +1271,10 @@ class StereoSLAM:
                 self.priors, fixed_n, ba_lines)
             self.window, self.obs, stats = self.backend_exec.collect(
                 to_device=jax.devices()[0])
+            # the stats dict stays on the executor device; the BA cost now
+            # rides the KF state pack, so move just that scalar across
+            stats = dict(stats)
+            stats["cost"] = jax.device_put(stats["cost"], jax.devices()[0])
         else:
             self.window, self.obs, stats = self._backend(
                 self.window, self.obs, imu_for_ba, self.priors, fixed_n,
@@ -1251,7 +1292,8 @@ class StereoSLAM:
         self.tracks = self.tracks.replace(has3d=self.window.lmk_mask)
         if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
             self._run_vi_init()
-        pk = np.asarray(self._pack_state(self.window, slot, self._ovf_dev))
+        pk = np.asarray(self._pack_state(self.window, slot, self._ovf_dev,
+                                         stats["cost"], gm_counts))
         self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:12]))
         self._ba_h = pk[15:18].copy()
         self._bg_h = pk[18:21].copy()
@@ -1262,7 +1304,25 @@ class StereoSLAM:
             prof.sums["keep_overflow_lmk"] += int(pk[21])
             prof.counts["keep_overflow_lmk"] += 1
         self._ovf_dev = jnp.zeros((), jnp.int32)
-        out["ba_cost"] = float(stats["cost"])
+        out["ba_cost"] = float(pk[22])
+        if gm_counts is not None:
+            out["gm_resurrected"] = int(pk[23])
+            # loop closure: a burst of descriptor resurrections is a revisit
+            # signal -- solve PnP of this KF against the archived positions
+            # and emit a pose-graph edge to the archiving keyframe, so
+            # optimize_archive can actually close accumulated drift (the
+            # natural consumer of the globalmap+posegraph pair; the
+            # reference archives but never closes).  The pack-hit count
+            # (riding this fetch) gates the blocking gm_pack fetch so
+            # non-revisit keyframes never pay it; the PnP warm-starts at
+            # the post-BA keyframe pose.
+            if (self.cfg.pose_graph and self.archived_kf
+                    and int(pk[24]) >= self.cfg.lc_min_hits):
+                lc = self._try_loop_closure(
+                    gm_pack, frame.ts, pk[:9].reshape(3, 3), pk[9:12])
+                out["lc_diag"] = self._lc_diag
+                if lc is not None:
+                    out["loop_closure"] = lc
         out["vi_initialized"] = self.vi_initialized
 
         # densification at KF rate (mesher->addNewKF, slamBiMonoVIO.cpp:601-603;
@@ -1397,10 +1457,17 @@ class StereoSLAM:
         re-associated archived landmark positions -- the archive shares one
         world gauge, so hits from several archived keyframes jointly
         constrain the revisit (each archiving KF only contributes a handful
-        of landmarks; a per-source gate would never trigger).  The edge
-        anchors at the DOMINANT source keyframe and is weighted by the PnP
-        covariance inflated with the frame-rate ESKF covariance.
-        Returns (ts_archived, ts_cur) or None."""
+        of landmarks; a per-source gate would never trigger).  The PnP-vs-
+        archive pose IS the edge measurement: it expresses the current
+        keyframe directly in the archive gauge, whereas the post-BA pose
+        still carries the window's accumulated drift (measured on the
+        excursion world: post-BA-measured edges correct 0.075->0.072,
+        PnP-measured 0.075->0.054).  Closure accuracy is bounded by the
+        resurrection search box (only archive matches whose projection
+        error fits the box are candidates -- a selection bias toward the
+        drifted pose).  The edge anchors at the DOMINANT source keyframe
+        and is weighted by the PnP covariance inflated with the frame-rate
+        ESKF covariance.  Returns (ts_archived, ts_cur) or None."""
         pk = np.asarray(gm_pack)
         hit = pk[:, 6] > 0.5
         src = pk[:, 5].astype(np.int64)
@@ -1413,12 +1480,15 @@ class StereoSLAM:
         vals, counts = np.unique(src[cand], return_counts=True)
         dom = int(vals[np.argmax(counts)])
         mask = jnp.asarray(cand)
+        # closures are rare (bursts) and their pose IS the edge measurement:
+        # spend extra hypotheses + refinement relative to the frame-rate PnP
         R_p, t_p, inl, ok, cov = pnp.pnp_ransac(
             _cam0(self.rig), self.rig.R_f_s[0], self.rig.t_f_s[0],
             jnp.asarray(pk[:, 2:5], jnp.float32),
             jnp.asarray(pk[:, 0:2], jnp.float32), mask,
-            R_cur, t_cur, self._next_key(),
-            min_inliers=self.cfg.lc_min_hits,
+            jnp.asarray(np.asarray(R_cur), jnp.float32),
+            jnp.asarray(np.asarray(t_cur), jnp.float32), self._next_key(),
+            min_inliers=self.cfg.lc_min_hits, n_hyp=128, refine_iters=12,
         )
         n_inl = int(jnp.sum(inl))
         n_cand = int(cand.sum())
@@ -1595,7 +1665,7 @@ class StereoSLAM:
             uv=jnp.zeros((C, L, 2)), valid=jnp.zeros((C, L), bool),
             uv_kf=jnp.zeros((C, L, 2)), has3d=jnp.zeros((L,), bool),
         )
-        self.pre_cur = imu_mod.Preintegration.identity()
+        self.pre_cur = self._pre_id
         self._imu_n = 0
         self.n_kf = 0
         self.kf_ts = []

@@ -94,21 +94,28 @@ class Profiler:
                  * kf_over_frames)
         back = (am("window_opt") + am("marginalization")
                 + am("nfr_edge")) * kf_over_frames
+        # layout parity with the reference dump (slamCore.cpp:554-584).
+        # Several reference rows map onto ONE fused kernel here (the
+        # track/predict/filter/ESKF stages execute as a single XLA program,
+        # and detection/stereo-matching/landmark-init likewise): those rows
+        # print the fused measurement ANNOTATED with the kernel it came
+        # from, rather than pretending four independent measurements exist.
+        tpf = f"{am('track_predict_filter'):.3f} (=track_predict_filter)"
+        dli = f"{am('detect_lmk_init'):.3f} (=detect_lmk_init)"
         rows = [
             "===== SLAM profiler =======",
             str(int(_time.time())),
             f"Number of frames: {n_frames}",
             f"Number of keyframes: {n_keyframes}",
             f"Img process dt: {am('pyramids'):.3f}",
-            f"Detection dt: {am('detect_lmk_init'):.3f}",
-            f"Prediction {pose_estimator}RANSAC dt: "
-            f"{am('track_predict_filter'):.3f}",
-            f"Matching in frame dt: {am('detect_lmk_init'):.3f}",
-            f"Matching in time dt: {am('track_predict_filter'):.3f}",
-            f"Average filter time dt: {am('track_predict_filter'):.3f}",
-            f"Average cleaning time dt: {am('window_opt'):.3f}",
-            f"Landmark init dt: {am('detect_lmk_init'):.3f}",
-            f"Optimize frame dt: {am('track_predict_filter'):.3f}",
+            f"Detection dt: {dli}",
+            f"Prediction {pose_estimator}RANSAC dt: {tpf}",
+            f"Matching in frame dt: {dli}",
+            f"Matching in time dt: {tpf}",
+            f"Average filter time dt: {tpf}",
+            f"Average cleaning time dt: {am('window_opt'):.3f} (=window_opt)",
+            f"Landmark init dt: {dli}",
+            f"Optimize frame dt: {tpf}",
             f"Marginalization dt: {am('marginalization'):.3f}",
         ]
         if mesh_on:

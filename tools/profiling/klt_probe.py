@@ -22,7 +22,7 @@ jax.block_until_ready(dev); t2 = T()
 slam._accumulate_imu(f); t3 = T()
 pyr = slam._pyramids(dev); t4 = T()
 Rp, tp, vp = slam._predict_pose(f); t5 = T()
-tr, Rn, tn, health = slam._frontend(slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, slam._next_key()); t6 = T()
+tr, Rn, tn, health, _, _, _ = slam._frontend(slam.kf_pyr, pyr, slam.tracks, slam.window, Rp, tp, slam._next_key()); t6 = T()
 h = np.asarray(health); t7 = T()
 h2 = np.asarray(health); t8 = T()
 print(f"upload(enqueue): {(t1-t0)*1e3:.1f} ms")

@@ -32,7 +32,7 @@ for i, f in enumerate(world.frames[10:25]):
     pyr = slam._pyramids(imgs); jax.block_until_ready(pyr[0][0]); t3 = tic()
     R_pred, t_pred, v_pred = slam._predict_pose(f)
     jax.block_until_ready(t_pred); t4 = tic()
-    tr, R_new, t_new, health = slam._frontend(slam.kf_pyr, pyr, slam.tracks,
+    tr, R_new, t_new, health, _, _, _ = slam._frontend(slam.kf_pyr, pyr, slam.tracks,
         slam.window, R_pred, t_pred, slam._next_key())
     jax.block_until_ready(health); t5 = tic()
     h = np.asarray(health); t6 = tic()
