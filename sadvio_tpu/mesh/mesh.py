@@ -318,6 +318,25 @@ class Mesher:
         self.tri_mask = np.zeros((tri_cap,), bool)
         self.cloud = []  # list of (pts_w, valid) device arrays
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _project_pack(self, lmk, lmk_mask, R_kf, t_kf):
+        """(L,3) [u, v, ok] pack: ONE device->host fetch feeds the host
+        Delaunay (separate uv + mask fetches each cost a full RPC round
+        trip on a tunneled device)."""
+        cam0 = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "shape") and x.ndim > 0 else x,
+            self.rig.cam,
+        )
+        uv, vis = cameras.project_world(
+            cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], lmk
+        )
+        p_c = cameras.world_to_cam(
+            R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], lmk
+        )
+        near = (p_c[:, 2] > 0) & (p_c[:, 2] < self.cfg.max_lmk_depth)
+        ok = vis & lmk_mask & near
+        return jnp.concatenate([uv, ok[:, None].astype(uv.dtype)], axis=-1)
+
     def update(self, images, window, R_kf, t_kf, make_cloud: bool = True):
         """Rebuild the KF-local mesh and (optionally) cast the dense cloud."""
         cam0 = jax.tree.map(
@@ -328,17 +347,14 @@ class Mesher:
             lambda x: x[1] if hasattr(x, "shape") and x.ndim > 0 else x,
             self.rig.cam,
         )
-        uv, vis = cameras.project_world(
-            cam0, R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
-        )
-        p_c = cameras.world_to_cam(
-            R_kf, t_kf, self.rig.R_f_s[0], self.rig.t_f_s[0], window.lmk
-        )
-        near = (p_c[:, 2] > 0) & (p_c[:, 2] < self.cfg.max_lmk_depth)
-        ok = np.asarray(vis & window.lmk_mask & near)
-        tri, mask = delaunay_triangles(np.asarray(uv), ok, self.tri_cap)
-        tri = jnp.asarray(tri)
-        mask = jnp.asarray(mask)
+        pk = np.asarray(self._project_pack(
+            window.lmk, window.lmk_mask, R_kf, t_kf))
+        tri, mask = delaunay_triangles(pk[:, :2], pk[:, 2] > 0.5, self.tri_cap)
+        # one combined H2D upload for the host topology (tri + mask)
+        up = jnp.asarray(np.concatenate(
+            [tri, mask[:, None].astype(np.int32)], axis=1))
+        tri = up[:, :3]
+        mask = up[:, 3] > 0
 
         mask = filter_triangles(
             window.lmk, window.lmk_mask, tri, mask, cam0, R_kf, t_kf,

@@ -141,7 +141,8 @@ class EdgeletChannel:
     def on_keyframe(self, frame, img0, img1, R_w_f, t_w_f):
         (self.p, self.d, self.mask, self.age, n, n_trk) = self._kf_update(
             img0, img1, R_w_f, t_w_f, self.p, self.d, self.mask, self.age)
-        return {"n_edgelets": int(n), "n_edgelets_tracked": int(n_trk)}
+        cnt = np.asarray(jnp.stack([n, n_trk]))  # one fetch
+        return {"n_edgelets": int(cnt[0]), "n_edgelets_tracked": int(cnt[1])}
 
     def points(self):
         m = np.asarray(self.mask)
@@ -216,7 +217,8 @@ class EllipseChannel:
         (self.pid, self.R_w_p, self.t_w_p, self.mask, self.age, n, n_trk
          ) = self._kf_update(img0, R_w_f, t_w_f, self.pid, self.R_w_p,
                              self.t_w_p, self.mask, self.age)
-        return {"n_patterns": int(n), "n_patterns_tracked": int(n_trk)}
+        cnt = np.asarray(jnp.stack([n, n_trk]))  # one fetch
+        return {"n_patterns": int(cnt[0]), "n_patterns_tracked": int(cnt[1])}
 
     def patterns(self):
         m = np.asarray(self.mask)
@@ -305,7 +307,8 @@ class BBoxChannel:
             jnp.asarray(det["boxes"]), jnp.asarray(det["labels"], jnp.int32),
             jnp.asarray(det["valid"]), R_w_f, t_w_f,
             self.center, self.scale, self.label, self.mask, self.age)
-        return {"n_boxes": int(n), "n_boxes_tracked": int(n_trk)}
+        cnt = np.asarray(jnp.stack([n, n_trk]))  # one fetch
+        return {"n_boxes": int(cnt[0]), "n_boxes_tracked": int(cnt[1])}
 
     def boxes(self):
         m = np.asarray(self.mask)

@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sadvio_tpu.data.window import LineBlock
 from sadvio_tpu.frontend import lines as lines_mod
@@ -297,7 +298,8 @@ class LineChannel:
             row, refine=refine,
         )
         self._head += 1
-        return {"n_lines": int(n_lines), "n_lines_tracked": int(n_tracked)}
+        cnt = np.asarray(jnp.stack([n_lines, n_tracked]))  # one fetch
+        return {"n_lines": int(cnt[0]), "n_lines_tracked": int(cnt[1])}
 
     @partial(jax.jit, static_argnames=("self",))
     def _ba_block(self, p0, p1, mask, obs_ends, obs_mask):
