@@ -291,12 +291,27 @@ def bench_soak():
     ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
     first = float(np.median(per_frame[:40]))
     last = float(np.median(per_frame[-40:]))
-    return {
+    out = {
         "soak_wall_ms_median": round(float(np.median(per_frame)), 2),
         "soak_wall_drift_ratio": round(last / max(first, 1e-9), 3),
         "soak_ate_mm": round(ate * 1000.0, 2),
         "soak_archived_nodes": len(slam.archived_kf),
     }
+    # pose-graph-corrected KF trajectory (the closure consumer's value,
+    # measured on-chip): ATE over the optimize_archive nodes vs their GT
+    try:
+        gt_by_ts = {float(f.ts): world.gt_t[i]
+                    for i, f in enumerate(world.frames)}
+        nodes = [(ts, t) for ts, _, t in slam.optimize_archive()
+                 if float(ts) in gt_by_ts]
+        if len(nodes) >= 5:
+            est_pg = np.asarray([t for _, t in nodes])
+            gt_pg = np.asarray([gt_by_ts[float(ts)] for ts, _ in nodes])
+            out["soak_ate_posegraph_mm"] = round(
+                synthetic.ate_rmse(est_pg, gt_pg) * 1000.0, 2)
+    except Exception as e:  # pragma: no cover
+        out["soak_pg_error"] = str(e)[:80]
+    return out
 
 
 def bench_frame_device(world, slam):

@@ -1042,8 +1042,7 @@ class StereoSLAM:
             out["is_kf"] = True
             if self._line_ch is not None:
                 out.update(self._line_ch.on_keyframe_pre_ba(
-                    pyr_new[0][0], pyr_new[1][0], R0, t0,
-                    jnp.int32(0)))
+                    pyr_new[0][0], pyr_new[1][0], R0, t0, 0))
             return out
 
         R_pred, t_pred, v_pred = self._predict_pose(frame)
