@@ -26,6 +26,16 @@ Design differences (deliberate):
 * Factor "measurement" values are taken at the linearization state (the back
   end has just converged, so the gradient of the marginal is ~0, mirroring
   the reference which stores current estimates as priors).
+* The f32 path is a SQUARE-ROOT marginalization (QR on the stacked whitened
+  blanket Jacobian): the reference's H-space Schur chain requires f64
+  (Eigen doubles at 1e-12) because the VIO blanket mixes ~1e8 IMU
+  information with ~1 vision information; in f32 the H-space route was
+  measured to produce an indefinite Schur complement whose pinv chain
+  emitted phantom priors (0.156 m soak ATE on the real TPU vs 0.025 m on
+  CPU -- backend-noise-dependent!).  QR works at the square root of that
+  conditioning and fixed the gap: 0.024 m on the TPU, backend-agnostic.
+  The opt-in f64 island (marg_f64) keeps the reference-exact H-space
+  recipe for runtimes with host callbacks.
 """
 
 from __future__ import annotations
@@ -154,17 +164,36 @@ def pinv_sqrt64(cov):
         cov, vmap_method="broadcast_all")
 
 
+def _eq_scales(A, eps_act=1e-10):
+    """Equilibration scales with inactive-dimension masking.
+
+    Dims whose diagonal is ~0 (masked prior slots, empty keep slots) must
+    NOT be scaled by 1/sqrt(~0) ~ 1e10 -- that amplifies their f32 noise
+    rows into O(1)-negative eigenvalues that poison the whole spectrum
+    (measured: the VIO soak's 'indefinite Schur complement' traced back to
+    exactly this).  Returns (s, act): unit scale + exclusion mask for
+    inactive dims.
+    """
+    d = jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1))
+    dmax = jnp.maximum(jnp.max(d, axis=-1, keepdims=True), 1e-20)
+    act = d > eps_act * dmax
+    s = jnp.where(act, 1.0 / jnp.sqrt(jnp.where(act, d, 1.0)), 1.0)
+    return s, act
+
+
 def rank_revealing_pinv_eq(A, eps_rel=1e-6):
     """rank_revealing_pinv with Jacobi pre-equilibration.
 
     D^-1/2 A D^-1/2 brings the ~1e8 diagonal information spread (IMU rows
     vs landmark rows) to O(1) before the f32 eigh, the same guard the
     window BA applies to its Cholesky (ba._solve_from_lin).  Scale-invariant
-    rank decisions; pinv(A) = D^-1/2 pinv(As) D^-1/2.
+    rank decisions; pinv(A) = D^-1/2 pinv(As) D^-1/2.  Inactive dims
+    (diag ~ 0) are zeroed before the eigh -- their pinv contribution is 0
+    by definition and scaling them amplifies noise into phantom spectrum.
     """
-    d = jnp.clip(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), 1e-20, None)
-    s = 1.0 / jnp.sqrt(d)
+    s, act = _eq_scales(A)
     As = _sym(A) * s[..., :, None] * s[..., None, :]
+    As = As * act[..., :, None] * act[..., None, :]
     Ainv_s, U, lam, keep = rank_revealing_pinv(As, eps_rel)
     return Ainv_s * s[..., :, None] * s[..., None, :]
 
@@ -402,6 +431,66 @@ def _reproj_h_slot0(state, obs, rig, opts, blanket, dxm_dim, P):
     return H, g
 
 
+def _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P):
+    """Whitened reprojection JACOBIAN ROWS at the marginalized frame, for
+    the square-root marginalization path.
+
+    Keep/drop landmarks contribute their slot-0 observation rows directly
+    (cols: x0 pose 0:6 + the landmark's 3 cols in its drop/keep block);
+    lonely landmarks are pre-eliminated exactly as in _reproj_h_slot0 and
+    re-enter as the 6 sqrt rows of their Schur contribution onto the x0
+    pose (vision-scale, f32-safe).  Returns (rows (C*L*2+6, dim),
+    rvec (C*L*2+6,)) whitened so that rows^T rows reproduces the H
+    contribution and rows^T rvec the gradient.
+    """
+    r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
+    r0, Jp0, Jl0, w0 = r[0], Jp[0], Jl[0], w[0]  # (C,L,...)
+    dtype = r.dtype
+    C, L = w0.shape
+
+    pos_d = jnp.full((L + 1,), -1, jnp.int32).at[
+        jnp.where(blanket.drop_mask, blanket.drop_idx, L)
+    ].set(jnp.arange(P, dtype=jnp.int32))[:L]
+    pos_k = jnp.full((L + 1,), -1, jnp.int32).at[
+        jnp.where(blanket.keep_mask, blanket.keep_idx, L)
+    ].set(jnp.arange(P, dtype=jnp.int32))[:L]
+    in_d = pos_d >= 0
+    in_k = pos_k >= 0
+    sel = (in_d | in_k).astype(dtype)  # lonely rows handled separately
+    col0 = jnp.where(in_d, D + 3 * jnp.maximum(pos_d, 0),
+                     2 * D + 3 * P + 3 * jnp.maximum(pos_k, 0))
+
+    sw = jnp.sqrt(w0) * sel[None, :]  # (C,L)
+
+    def lmk_rows(Jl_l2x3, c0):
+        z = jnp.zeros((2, dim), dtype)
+        return jax.lax.dynamic_update_slice(z, Jl_l2x3, (0, c0))
+
+    rows = jax.vmap(jax.vmap(lmk_rows, in_axes=(0, 0)), in_axes=(0, None))(
+        Jl0 * sw[..., None, None], col0
+    )  # (C,L,2,dim)
+    rows = rows.at[..., 0:6].add(Jp0 * sw[..., None, None])
+    rvec = (r0 * sw[..., None]).reshape(-1)
+    rows = rows.reshape(-1, dim)
+
+    # lonely landmarks: batched 3x3 elimination onto x0, re-expressed as
+    # the 6 sqrt rows of the (PSD, vision-scale) correction block
+    wJl = w0[..., None, None] * Jl0
+    Hll = jnp.einsum("clai,claj->lij", wJl, Jl0)
+    Hpl = jnp.einsum("clai,claj->lij", w0[..., None, None] * Jp0, Jl0)
+    Hpp = jnp.einsum("clai,claj->ij", w0[..., None, None] * Jp0, Jp0)
+    em = blanket.lonely.astype(dtype)
+    Hll_e = Hll * em[:, None, None] + jnp.eye(3, dtype=dtype) * opts.jitter
+    Hll_inv = geo.inv3x3(Hll_e) * em[:, None, None]
+    Hpl_l = Hpl * em[:, None, None]
+    Hpp_l = jnp.einsum("clai,claj->ij",
+                       (w0 * em[None, :])[..., None, None] * Jp0, Jp0)
+    M6 = _sym(Hpp_l - jnp.einsum("lij,ljk,lmk->im", Hpl_l, Hll_inv, Hpl_l))
+    rows6 = jnp.zeros((6, dim), dtype).at[:, 0:6].set(sqrt_psd(M6))
+    return jnp.concatenate([rows, rows6]), jnp.concatenate(
+        [rvec, jnp.zeros((6,), dtype)])
+
+
 # ---------------------------------------------------------------------------
 # the driver
 # ---------------------------------------------------------------------------
@@ -448,29 +537,55 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
 
     # Schur out [x0, dropped]: order is [x0(15), dropped(3P)] then kept part
     m_dim = D + 3 * P
+    k_dim = D + 3 * P
     Hmm = H[:m_dim, :m_dim]
     Hmk = H[:m_dim, m_dim:]
     Hkk = H[m_dim:, m_dim:]
+    sp_tri = None
     if f64:
         Hmm_inv, _, _, _ = rr_pinv64(Hmm)
-    else:
-        Hmm_inv = rank_revealing_pinv_eq(Hmm)
-    Ak = _sym(Hkk - Hmk.T @ Hmm_inv @ Hmk)  # (15+3P) over [x1, kept]
-    gk = g[m_dim:] - Hmk.T @ (Hmm_inv @ g[:m_dim])
-
-    # rank-revealing decomposition of Ak -> covariance of kept states.
-    # f32: equilibrated (A = S^-1 As S^-1 with S = diag(s_Ak); the dense
-    # recovery below unscales with the same identities, s_Ak == 1 in f64)
-    if f64:
-        s_Ak = jnp.ones((Ak.shape[0],), Ak.dtype)
+        Ak = _sym(Hkk - Hmk.T @ Hmm_inv @ Hmk)  # (15+3P) over [x1, kept]
+        gk = g[m_dim:] - Hmk.T @ (Hmm_inv @ g[:m_dim])
         Ak_inv, U, lam, keep_eig = rr_pinv64(Ak)
         Sigma_k = Ak_inv
+        degenerate = jnp.maximum(-jnp.min(lam), 0.0) > \
+            1e-2 * jnp.maximum(jnp.max(lam), 1e-20)
     else:
-        d_Ak = jnp.clip(jnp.abs(jnp.diagonal(Ak)), 1e-20, None)
-        s_Ak = 1.0 / jnp.sqrt(d_Ak)
+        # f32 path: SQUARE-ROOT marginalization (the SURVEY hard-parts #3
+        # remedy; cf. the square-root marginalization paper in PAPERS.md).
+        # The H-space Schur chain squares the conditioning: at the VIO
+        # blanket's ~1e8 IMU-vs-vision information spread, f32 cancellation
+        # left Ak measurably INDEFINITE (equilibrated eigenvalues to -0.9x
+        # of the max) and the pinv->factor-recovery inversions turned that
+        # noise into phantom priors (a ~350-norm 15-dof sqrt-info that
+        # wrecked the TPU trajectory).  QR on the stacked WHITENED Jacobian
+        # rows works at the square root of that conditioning (~1e4 -- f32
+        # comfort zone), the marginal factor R22 is PSD by construction,
+        # and unobservable directions surface as tiny diagonal entries that
+        # the clipped triangular inverse maps to LARGE covariance (weak
+        # factors), never to phantom information.
+        rows_r, rv = _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P)
+        Jb = jnp.concatenate([J, rows_r], axis=0)
+        R_ = jnp.linalg.qr(Jb, mode="r")
+        R22 = R_[m_dim:, m_dim:]
+        degenerate = jnp.any(~jnp.isfinite(R22))
+        R22 = jnp.where(jnp.isfinite(R22), R22, 0.0)
+        Ak = _sym(R22.T @ R22)
+        # Sigma from the CLEAN Ak: the equilibrated eigh-pinv trimming is
+        # reliable here because Ak = R22^T R22 is PSD by construction --
+        # the QR route removed the indefinite cancellation junk that made
+        # the H-space chain's pinv chaotic
+        s_Ak, act_k = _eq_scales(Ak)
         As = _sym(Ak) * s_Ak[:, None] * s_Ak[None, :]
-        Ak_inv_s, U, lam, keep_eig = rank_revealing_pinv(As)
+        As = As * act_k[:, None] * act_k[None, :]
+        Ak_inv_s, _, _, _ = rank_revealing_pinv(As)
         Sigma_k = Ak_inv_s * s_Ak[:, None] * s_Ak[None, :]
+        # marginal sqrt factor of x1 alone: QR-eliminate the kept-landmark
+        # columns (triangular, inversion-free -- the f32-safe sp recovery)
+        R2p = jnp.linalg.qr(
+            jnp.concatenate([R22[:, D:], R22[:, :D]], axis=1), mode="r")
+        sp_tri = R2p[3 * P:, 3 * P:]
+        sp_tri = jnp.where(jnp.isfinite(sp_tri), sp_tri, 0.0)
     psq = pinv_sqrt64 if f64 else pinv_sqrt
 
     new = PriorSet.create(state.K, P, state.lmk.dtype)
@@ -489,16 +604,28 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         return jax.lax.dynamic_slice(Sigma_k, (D + 3 * i, D + 3 * i), (3, 3))
 
     if not sparsify:
-        # dense prior recovery: J = Lam^1/2 U^T on the kept eigen-subspace,
-        # r chosen so J^T r = g_k (the reference's computeJacobiansAndResiduals)
-        sq = jnp.sqrt(jnp.where(keep_eig, lam, 0.0))
-        isq = jnp.where(keep_eig, 1.0 / jnp.sqrt(jnp.where(keep_eig, lam, 1.0)), 0.0)
-        # unscale the equilibrated eigenbasis: A = S^-1 U lam U^T S^-1 with
-        # S = diag(s_Ak), so J = lam^1/2 U^T S^-1 and J^T r = g needs
-        # r = lam^-1/2 U^T S g  (s_Ak == 1 when f64)
-        dn_J = sq[:, None] * (U.T * (1.0 / s_Ak)[None, :])
-        dn_r = isq * (U.T @ (gk * s_Ak))
-        has_info = jnp.any(keep_eig & (lam > 0))
+        # dense prior recovery (the reference's computeJacobiansAndResiduals):
+        # f64 island keeps J = Lam^1/2 U^T on the kept eigen-subspace; the
+        # f32 sqrt path replays the TRIANGULAR marginal factor directly
+        # (dn_J = R22, dn_r from one triangular solve -- J^T r = g_k)
+        if f64:
+            sq = jnp.sqrt(jnp.where(keep_eig, lam, 0.0))
+            isq = jnp.where(
+                keep_eig, 1.0 / jnp.sqrt(jnp.where(keep_eig, lam, 1.0)), 0.0)
+            dn_J = sq[:, None] * U.T
+            dn_r = isq * (U.T @ gk)
+            has_info = jnp.any(keep_eig & (lam > 0))
+        else:
+            dn_J = R22
+            # the replayed gradient: at convergence the true gk ~ 0, and
+            # its computed f32 value is cancellation noise that the
+            # recycled replay factor AMPLIFIES (measured on the TPU soak:
+            # noise dn_r alone cost 1.29 m ATE; zeroed: 0.165 m).  The f64
+            # island keeps the true gk replay like the reference.
+            dn_r = jnp.zeros((k_dim,), H.dtype)
+            dR_d = jnp.abs(jnp.diagonal(R22))
+            has_info = jnp.any(
+                dR_d > 1e-6 * jnp.maximum(jnp.max(dR_d), 1e-20))
         new = new.replace(
             dn_J=dn_J, dn_r=dn_r,
             dn_R=R1, dn_t=t1, dn_v=state.v[1], dn_ba=state.ba[1],
@@ -529,15 +656,25 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
             plp_sqrt_info=infos * blanket.keep_mask[:, None, None],
             plp_mask=blanket.keep_mask,
         )
-        # absolute 15-dof prior on kept frame: J = I in kept-delta coords
-        cov_f = Sigma_k[:D, :D]
-        sp_sqrt = psq(cov_f)
+        # absolute 15-dof prior on kept frame.  NOT pinv(Sigma[:D,:D]) in
+        # f32: that invert-invert round trip amplifies chain noise into
+        # PHANTOM information (measured: a ~350-norm sqrt-info whose
+        # direction was pure backend noise wrecked the TPU trajectory while
+        # CPU noise happened to cancel).  The f32 path uses the triangular
+        # marginal factor of x1 from the second QR (inversion-free, PSD,
+        # unobservable directions carry ~zero info); the f64 island keeps
+        # the reference-exact pinv recipe.
+        if f64:
+            sp_sqrt = psq(Sigma_k[:D, :D])
+        else:
+            sp_sqrt = sp_tri
         new = new.replace(
             sp_R=new.sp_R.at[1].set(R1), sp_t=new.sp_t.at[1].set(t1),
             sp_v=new.sp_v.at[1].set(state.v[1]), sp_ba=new.sp_ba.at[1].set(state.ba[1]),
             sp_bg=new.sp_bg.at[1].set(state.bg[1]),
             sp_sqrt_info=new.sp_sqrt_info.at[1].set(sp_sqrt),
-            sp_mask=new.sp_mask.at[1].set(jnp.any(blanket.keep_mask) | imu.mask[0]),
+            sp_mask=new.sp_mask.at[1].set(
+                jnp.any(blanket.keep_mask) | imu.mask[0]),
         )
     else:
         # Chow-Liu greedy chain (sparsifyVO:415-514)
@@ -613,6 +750,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         "keep_idx": blanket.keep_idx,
         "keep_mask": blanket.keep_mask,
         "n_keep_overflow": blanket.n_overflow,
+        "degenerate": degenerate,
         "Ak": Ak,
     }
     return new, info

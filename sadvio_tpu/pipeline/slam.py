@@ -133,9 +133,11 @@ class StereoSLAM:
         self._cov_h = np.zeros((6, 6))
         self.kf_cov = []
         self._have_priors = False  # host mirror of any(priors.sp_mask)
-        # keep-set overflow of the latest marginalization (device scalar;
-        # fetched via the KF-rate _pack_state pack, never a blocking RPC)
+        # keep-set overflow + degenerate-marginal flag of the latest
+        # marginalization (device scalars; fetched via the KF-rate
+        # _pack_state pack, never a blocking RPC)
         self._ovf_dev = jnp.zeros((), jnp.int32)
+        self._degen_dev = jnp.zeros((), bool)
         # async health pipeline: the pending (ts, device health) fetch, the
         # most recently ingested health, and the template-changed flag that
         # forces one blocking fetch right after a keyframe
@@ -267,7 +269,7 @@ class StereoSLAM:
         ])
 
     @partial(jax.jit, static_argnames=("self",))
-    def _pack_state(self, window, slot, ovf, ba_cost, gm_counts=None):
+    def _pack_state(self, window, slot, ovf, degen, ba_cost, gm_counts=None):
         """23/25-float KF state pack (R,t,v,ba,bg + keep-overflow count +
         BA cost [+ global-map resurrection counts]): ONE fetch refreshes
         every host mirror at keyframe rate -- the riders are what let the
@@ -278,6 +280,7 @@ class StereoSLAM:
             window.R[slot].reshape(-1), window.t[slot], window.v[slot],
             window.ba[slot], window.bg[slot],
             ovf.astype(jnp.float32)[None],
+            jnp.reshape(degen, (1,)).astype(jnp.float32),
             jnp.reshape(ba_cost, (1,)).astype(jnp.float32),
         ]
         if gm_counts is not None:
@@ -758,12 +761,14 @@ class StereoSLAM:
             )
             marg_lmk = info["marg_lmk"]
             n_overflow = info["n_keep_overflow"]
+            degen = info["degenerate"]
         else:
             new_priors = PriorSet.create(self.caps.K, self.caps.P)
             seen0 = jnp.any(obs.mask[0], axis=0)
             elsewhere = jnp.any(obs.mask[1:], axis=(0, 1))
             marg_lmk = window.lmk_mask & seen0 & ~elsewhere
             n_overflow = jnp.zeros((), jnp.int32)
+            degen = jnp.zeros((), bool)
         new_priors = marg.shift_priors(new_priors)
         if self.cfg.global_map and gm is not None:
             from sadvio_tpu.data import globalmap as gmap
@@ -791,8 +796,9 @@ class StereoSLAM:
             has3d=tracks.has3d & ~marg_lmk,
         )
         if self.cfg.global_map and gm is not None:
-            return window, obs, imu_chain, new_priors, tracks, gm, n_overflow
-        return window, obs, imu_chain, new_priors, tracks, n_overflow
+            return (window, obs, imu_chain, new_priors, tracks, gm,
+                    n_overflow, degen)
+        return window, obs, imu_chain, new_priors, tracks, n_overflow, degen
 
     # ------------------------------------------------------------------
     # host-side frame loop
@@ -1180,10 +1186,10 @@ class StereoSLAM:
             )
             if self.global_map_state is not None:
                 (self.window, self.obs, self.imu, self.priors, self.tracks,
-                 self.global_map_state, n_ovf) = mr
+                 self.global_map_state, n_ovf, degen) = mr
             else:
                 (self.window, self.obs, self.imu, self.priors, self.tracks,
-                 n_ovf) = mr
+                 n_ovf, degen) = mr
             if prof:
                 prof.toc("marginalization", block=self.window.R)
             # keep-set capacity overflow (landmarks demoted to lonely,
@@ -1191,6 +1197,7 @@ class StereoSLAM:
             # prior silently.  The count rides this keyframe's _pack_state
             # fetch -- surfaced unconditionally, no extra RPC.
             self._ovf_dev = n_ovf
+            self._degen_dev = degen
             did_marg = True
             if self.cfg.marginalization:
                 self._have_priors = True
@@ -1292,7 +1299,8 @@ class StereoSLAM:
         if self.vio and not self.vi_initialized and self.n_kf >= self.vio_init_kfs:
             self._run_vi_init()
         pk = np.asarray(self._pack_state(self.window, slot, self._ovf_dev,
-                                         stats["cost"], gm_counts))
+                                         self._degen_dev, stats["cost"],
+                                         gm_counts))
         self.kf_traj.append((frame.ts, pk[:9].reshape(3, 3), pk[9:12]))
         self._ba_h = pk[15:18].copy()
         self._bg_h = pk[18:21].copy()
@@ -1303,9 +1311,14 @@ class StereoSLAM:
             prof.sums["keep_overflow_lmk"] += int(pk[21])
             prof.counts["keep_overflow_lmk"] += 1
         self._ovf_dev = jnp.zeros((), jnp.int32)
-        out["ba_cost"] = float(pk[22])
+        # numerically-degenerate marginal: the prior was cleared this roll
+        # (the reference's marginalization-failure path; see
+        # marginalization.py health gate)
+        out["marg_degenerate"] = bool(pk[22] > 0.5)
+        self._degen_dev = jnp.zeros((), bool)
+        out["ba_cost"] = float(pk[23])
         if gm_counts is not None:
-            out["gm_resurrected"] = int(pk[23])
+            out["gm_resurrected"] = int(pk[24])
             # loop closure: a burst of descriptor resurrections is a revisit
             # signal -- solve PnP of this KF against the archived positions
             # and emit a pose-graph edge to the archiving keyframe, so
@@ -1316,7 +1329,7 @@ class StereoSLAM:
             # non-revisit keyframes never pay it; the PnP warm-starts at
             # the post-BA keyframe pose.
             if (self.cfg.pose_graph and self.archived_kf
-                    and int(pk[24]) >= self.cfg.lc_min_hits):
+                    and int(pk[25]) >= self.cfg.lc_min_hits):
                 lc = self._try_loop_closure(
                     gm_pack, frame.ts, pk[:9].reshape(3, 3), pk[9:12])
                 out["lc_diag"] = self._lc_diag
@@ -1672,6 +1685,7 @@ class StereoSLAM:
         self._cov_h = np.zeros((6, 6))
         self._have_priors = False
         self._ovf_dev = jnp.zeros((), jnp.int32)
+        self._degen_dev = jnp.zeros((), bool)
         self._health_pend = None
         self._health_stale = False
         self.initialized = False
