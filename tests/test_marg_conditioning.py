@@ -150,6 +150,29 @@ def test_stressed_blanket_f32_matches_f64_island(rng, vio):
         assert np.median(rel) < 0.2, np.median(rel)
 
 
+@pytest.mark.parametrize("vio", [False, True])
+def test_sqrt_marginal_is_psd(rng, vio):
+    """The f32 square-root path's marginal Ak = R22^T R22 must be PSD even
+    on the 1e8-spread stressed blanket -- the H-space Schur chain measured
+    INDEFINITE here (equilibrated eigenvalues to -0.9x max), which was the
+    root cause of the backend-dependent phantom priors (TPU soak 156 mm vs
+    CPU 25 mm).  Regression pin for the QR route."""
+    gt, obs, rig, priors = _stressed_blanket(rng)
+    opts = ba.BAOptions()
+    imu = ImuChain.create(K)
+    new, info = marg.marginalize(gt, obs, rig, imu, priors, opts,
+                                 vio=vio, f64=False)
+    Ak = np.asarray(info["Ak"], np.float64)
+    s, act = marg._eq_scales(jnp.asarray(Ak, jnp.float32))
+    s, act = np.asarray(s, np.float64), np.asarray(act)
+    As = 0.5 * (Ak + Ak.T) * s[:, None] * s[None, :] \
+        * act[:, None] * act[None, :]
+    lam = np.linalg.eigvalsh(As)
+    assert lam.min() > -1e-4 * max(lam.max(), 1e-20), (
+        f"sqrt marginal went indefinite: {lam.min():.3e} vs {lam.max():.3e}")
+    assert not bool(info["degenerate"])
+
+
 def test_marg_f64_in_pipeline_smoke():
     """marg_f64 wires through SLAMConfig into the jitted roll path."""
     from sadvio_tpu.pipeline import synthetic
