@@ -273,6 +273,7 @@ def bench_soak():
         slam_mode="bimonovio", max_kf_number=5, min_lmk_number=30,
         max_movement_parallax=0.6, min_movement_parallax=0.02,
         global_map=True, pose_graph=True, archive_max_nodes=24,
+        async_health=True,  # remote-deployment latency mode (see bench_e2e)
         caps=Capacities(K=6, L=256, P=24, pyr_levels=3, klt_radius=5))
     slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
     slam.run(frames[:30])  # warm
@@ -361,6 +362,9 @@ def bench_e2e():
     cfg = SLAMConfig(
         slam_mode="bimonovio", max_kf_number=10, min_lmk_number=40,
         max_movement_parallax=1.0, min_movement_parallax=0.02,
+        # the bench runs on a tunneled chip (tens of ms per D2H round
+        # trip): measure the remote-deployment latency mode
+        async_health=True,
         caps=Capacities(K=11, L=512, P=48, pyr_levels=4, klt_radius=5))
     slam = StereoSLAM(world.rig, cfg, imu_params=world.imu_params)
     slam.run(frames[:15])  # warm phase compiles every stage kernel

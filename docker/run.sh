@@ -29,7 +29,7 @@ if [[ "${1:-}" == "compare" ]]; then
         sadvio_tpu tools/compare_euroc.py \
         --dataset /data/sequence \
         --out log_slam/compare_out \
-        $( [ -x "$REF_BIN" ] 2>/dev/null && echo "--ref-bin $REF_BIN --ref-config $REF_CONFIG" ) \
+        --ref-bin "$REF_BIN" --ref-config "$REF_CONFIG" \
         "$@"
     exit 0
 fi

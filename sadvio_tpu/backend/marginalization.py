@@ -437,11 +437,11 @@ def _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P):
 
     Keep/drop landmarks contribute their slot-0 observation rows directly
     (cols: x0 pose 0:6 + the landmark's 3 cols in its drop/keep block);
-    lonely landmarks are pre-eliminated exactly as in _reproj_h_slot0 and
-    re-enter as the 6 sqrt rows of their Schur contribution onto the x0
-    pose (vision-scale, f32-safe).  Returns (rows (C*L*2+6, dim),
-    rvec (C*L*2+6,)) whitened so that rows^T rows reproduces the H
-    contribution and rows^T rvec the gradient.
+    lonely landmarks are pre-eliminated exactly as in _reproj_h_slot0
+    (keep the two eliminations in sync) and re-enter as the 6 sqrt rows of
+    their Schur contribution onto the x0 pose (vision-scale, f32-safe).
+    Returns rows (C*L*2+6, dim) whitened so rows^T rows reproduces the H
+    contribution.
     """
     r, Jp, Jl, m, w = _reproj_terms(state, obs, rig, opts)
     r0, Jp0, Jl0, w0 = r[0], Jp[0], Jl[0], w[0]  # (C,L,...)
@@ -470,7 +470,6 @@ def _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P):
         Jl0 * sw[..., None, None], col0
     )  # (C,L,2,dim)
     rows = rows.at[..., 0:6].add(Jp0 * sw[..., None, None])
-    rvec = (r0 * sw[..., None]).reshape(-1)
     rows = rows.reshape(-1, dim)
 
     # lonely landmarks: batched 3x3 elimination onto x0, re-expressed as
@@ -478,7 +477,6 @@ def _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P):
     wJl = w0[..., None, None] * Jl0
     Hll = jnp.einsum("clai,claj->lij", wJl, Jl0)
     Hpl = jnp.einsum("clai,claj->lij", w0[..., None, None] * Jp0, Jl0)
-    Hpp = jnp.einsum("clai,claj->ij", w0[..., None, None] * Jp0, Jp0)
     em = blanket.lonely.astype(dtype)
     Hll_e = Hll * em[:, None, None] + jnp.eye(3, dtype=dtype) * opts.jitter
     Hll_inv = geo.inv3x3(Hll_e) * em[:, None, None]
@@ -487,8 +485,7 @@ def _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P):
                        (w0 * em[None, :])[..., None, None] * Jp0, Jp0)
     M6 = _sym(Hpp_l - jnp.einsum("lij,ljk,lmk->im", Hpl_l, Hll_inv, Hpl_l))
     rows6 = jnp.zeros((6, dim), dtype).at[:, 0:6].set(sqrt_psd(M6))
-    return jnp.concatenate([rows, rows6]), jnp.concatenate(
-        [rvec, jnp.zeros((6,), dtype)])
+    return jnp.concatenate([rows, rows6])
 
 
 # ---------------------------------------------------------------------------
@@ -527,22 +524,26 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
     def rfun(dxm):
         return _marg_dense_residuals(state, imu, priors, opts, blanket, dxm)
 
-    r0_f = rfun(jnp.zeros((dim,), state.lmk.dtype))
-    J = jax.jacfwd(rfun)(jnp.zeros((dim,), state.lmk.dtype))
-    H = J.T @ J
-    g = J.T @ r0_f  # cost gradient (dense-prior path; ~0 after convergence)
-    H_r, g_r = _reproj_h_slot0(state, obs, rig, opts, blanket, dim, P)
-    H = H + H_r
-    g = g + g_r
+    dt_ = state.lmk.dtype
+    J = jax.jacfwd(rfun)(jnp.zeros((dim,), dt_))
 
     # Schur out [x0, dropped]: order is [x0(15), dropped(3P)] then kept part
     m_dim = D + 3 * P
     k_dim = D + 3 * P
-    Hmm = H[:m_dim, :m_dim]
-    Hmk = H[:m_dim, m_dim:]
-    Hkk = H[m_dim:, m_dim:]
     sp_tri = None
     if f64:
+        # H-space chain (reference parity; safe in the host-f64 island).
+        # The f32 branch below never assembles H -- its square-root route
+        # works on the Jacobian rows directly.
+        r0_f = rfun(jnp.zeros((dim,), dt_))
+        H = J.T @ J
+        g = J.T @ r0_f  # cost gradient (dense-prior path; ~0 at convergence)
+        H_r, g_r = _reproj_h_slot0(state, obs, rig, opts, blanket, dim, P)
+        H = H + H_r
+        g = g + g_r
+        Hmm = H[:m_dim, :m_dim]
+        Hmk = H[:m_dim, m_dim:]
+        Hkk = H[m_dim:, m_dim:]
         Hmm_inv, _, _, _ = rr_pinv64(Hmm)
         Ak = _sym(Hkk - Hmk.T @ Hmm_inv @ Hmk)  # (15+3P) over [x1, kept]
         gk = g[m_dim:] - Hmk.T @ (Hmm_inv @ g[:m_dim])
@@ -564,7 +565,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         # and unobservable directions surface as tiny diagonal entries that
         # the clipped triangular inverse maps to LARGE covariance (weak
         # factors), never to phantom information.
-        rows_r, rv = _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P)
+        rows_r = _reproj_sqrt_rows(state, obs, rig, opts, blanket, dim, P)
         Jb = jnp.concatenate([J, rows_r], axis=0)
         R_ = jnp.linalg.qr(Jb, mode="r")
         R22 = R_[m_dim:, m_dim:]
@@ -575,11 +576,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
         # reliable here because Ak = R22^T R22 is PSD by construction --
         # the QR route removed the indefinite cancellation junk that made
         # the H-space chain's pinv chaotic
-        s_Ak, act_k = _eq_scales(Ak)
-        As = _sym(Ak) * s_Ak[:, None] * s_Ak[None, :]
-        As = As * act_k[:, None] * act_k[None, :]
-        Ak_inv_s, _, _, _ = rank_revealing_pinv(As)
-        Sigma_k = Ak_inv_s * s_Ak[:, None] * s_Ak[None, :]
+        Sigma_k = rank_revealing_pinv_eq(Ak)
         # marginal sqrt factor of x1 alone: QR-eliminate the kept-landmark
         # columns (triangular, inversion-free -- the f32-safe sp recovery)
         R2p = jnp.linalg.qr(
@@ -622,7 +619,7 @@ def marginalize(state: WindowState, obs: Observations, rig: Rig, imu: ImuChain,
             # recycled replay factor AMPLIFIES (measured on the TPU soak:
             # noise dn_r alone cost 1.29 m ATE; zeroed: 0.165 m).  The f64
             # island keeps the true gk replay like the reference.
-            dn_r = jnp.zeros((k_dim,), H.dtype)
+            dn_r = jnp.zeros((k_dim,), dt_)
             dR_d = jnp.abs(jnp.diagonal(R22))
             has_info = jnp.any(
                 dR_d > 1e-6 * jnp.maximum(jnp.max(dR_d), 1e-20))

@@ -58,12 +58,16 @@ class SLAMConfig:
     # front-end/back-end thread split, cpp/main.cpp:37-42; here the "thread"
     # is async dispatch to a BackendExecutor device)
     multithreading: bool = False
-    # steady-state frame loop never blocks on its own health fetch: the D2H
-    # copy is harvested one frame later and the KF vote consumes frame k-1's
-    # health (the reference's FE/BE split tolerates the same lag,
-    # slamCore.cpp:587-608).  Off = every frame blocks (one RPC round trip
-    # per frame on remote devices); profiling mode always blocks.
-    async_health: bool = True
+    # OPT-IN latency mode for remote/tunneled devices (tens of ms per D2H
+    # round trip): steady-state tracking frames never block on their own
+    # health fetch -- the copy is harvested one frame later, and keyframe
+    # CANDIDATES (eagerly-extrapolated stale vote) are confirmed against
+    # fresh data before insertion (measured ~30 ms/frame saved on a
+    # tunneled chip).  Off (default) = every frame votes on its own fresh
+    # health, the reference's exact cadence semantics
+    # (shouldInsertKeyframe, slamCore.cpp:375) -- on locally-attached
+    # accelerators the fetch costs ~0.1 ms and the lag buys nothing.
+    async_health: bool = False
     tracker: str = "klt"
     pose_estimator: str = "pnp"
     optimizer: str = "analytic"

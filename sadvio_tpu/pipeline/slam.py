@@ -139,11 +139,13 @@ class StereoSLAM:
         self._ovf_dev = jnp.zeros((), jnp.int32)
         self._degen_dev = jnp.zeros((), bool)
         # async health pipeline: the pending (ts, device health) fetch, the
-        # most recently ingested health, and the template-changed flag that
-        # forces one blocking fetch right after a keyframe
+        # most recently ingested health, the template-changed flag that
+        # forces one blocking fetch right after a keyframe, and the
+        # previous parallax (one-step vote extrapolation under lag)
         self._health_pend = None
         self._health_stale = False
         self._last_health = None
+        self._par_prev = None
         self._prefetched = None  # next frame's device images (run() pipeline)
         self._imu_pref = []  # next frame's uploaded IMU batches
         self._imu_pref_ts = None  # timestamp keying _imu_pref
@@ -1080,11 +1082,15 @@ class StereoSLAM:
             self._health_pend = (frame.ts, health)
             if pend is not None:
                 self._ingest_health(pend[0], np.asarray(pend[1]))
-            if pend is None or self._health_stale:
-                # no usable previous-frame health: first tracked frame, or
-                # the tracking template just changed at a keyframe (its
+            if self._health_stale or self._last_health is None:
+                # no usable vote data: first tracked frame ever, or the
+                # tracking template just changed at a keyframe (its
                 # parallax was measured against the OLD template and would
                 # immediately re-trigger the vote) -- block on this frame's
+                # own health.  _health_pend is cleared because this frame's
+                # row is ingested NOW (the next frame must not re-ingest
+                # it); the next frame votes on _last_health (this frame's
+                # values) without any blocking fetch -- the steady state.
                 self._ingest_health(frame.ts, np.asarray(health))
                 self._health_pend = None
                 self._health_stale = False
@@ -1113,10 +1119,6 @@ class StereoSLAM:
             return out
 
         # keyframe vote (shouldInsertKeyframe, slamCore.cpp:375-430)
-        parallax_h = float(health_h[1])
-        n_lmk_h = int(health_h[3])
-        force_kf = (not pnp_ok_h) or n_lmk_h < self.cfg.min_lmk_number
-        vote_kf = parallax_h > self.cfg.max_movement_parallax
         # forced KF when >1 s elapsed since the last KF, "to prevent the IMU
         # to drift" (slamBiMonoVIO.cpp:445-447): a feature-poor stretch must
         # not let the preintegration interval grow unbounded
@@ -1126,20 +1128,66 @@ class StereoSLAM:
         # unconditionally ("keyframes added by default when the map starts",
         # localmap.cpp:6-7 / localmap.h:29)
         force_boot = self.n_kf < self.cfg.min_kf_number
-        # PnP failure bypasses the min-parallax gate entirely (the
-        # reference's dead-reckon + forced-KF path, slamBiMonoVIO.cpp:429-443);
-        # landmark-starvation forcing keeps the gate so a stationary starved
-        # camera does not insert zero-baseline KFs at frame rate
-        is_kf = (not pnp_ok_h) or force_time or force_boot or (
-            (force_kf or vote_kf)
-            and parallax_h >= self.cfg.min_movement_parallax)
+
+        def kf_vote(pnp_ok_v, parallax_v, n_lmk_v):
+            # PnP failure bypasses the min-parallax gate entirely (the
+            # reference's dead-reckon + forced-KF path,
+            # slamBiMonoVIO.cpp:429-443); landmark-starvation forcing keeps
+            # the gate so a stationary starved camera does not insert
+            # zero-baseline KFs at frame rate
+            force_kf = (not pnp_ok_v) or n_lmk_v < self.cfg.min_lmk_number
+            vote_kf = parallax_v > self.cfg.max_movement_parallax
+            return (not pnp_ok_v) or force_time or force_boot or (
+                (force_kf or vote_kf)
+                and parallax_v >= self.cfg.min_movement_parallax)
+
+        parallax_h = float(health_h[1])
+        n_lmk_h = int(health_h[3])
+        if ts_h != frame.ts:
+            # async lag: the health is frame k-1's.  The stale vote is only
+            # a CANDIDATE GATE -- parallax is extrapolated one step EAGERLY
+            # (1.5x the last delta) so threshold crossings surface on time,
+            # and any candidate is then CONFIRMED against this frame's own
+            # health (blocking fetch at candidate rate only).  Keyframe
+            # decisions therefore use fresh data exactly like blocking
+            # mode, while steady-state tracking frames never block -- a
+            # raw lag-1 vote measurably destabilized fast-rotation worlds
+            # (KF bursts, cadence-shifted VIInit landing in the
+            # gravity-tilt degeneracy valley).
+            par_stale = parallax_h
+            if self._par_prev is not None:
+                parallax_h += 1.5 * max(parallax_h - self._par_prev, 0.0)
+            self._par_prev = par_stale
+            candidate = kf_vote(pnp_ok_h, parallax_h, n_lmk_h)
+            if candidate:
+                self._ingest_health(frame.ts, np.asarray(health))
+                self._health_pend = None
+                self._par_prev = None
+                ts_h, health_h, R_h, t_h = self._last_health
+                pnp_ok_h = bool(health_h[0] > 0.5)
+                parallax_h = float(health_h[1])
+                n_lmk_h = int(health_h[3])
+                out["pose"] = (R_h, t_h)
+                out["pose_ts"] = ts_h
+                out["pnp_ok"] = pnp_ok_h
+                out["n_tracked"] = int(health_h[2])
+                out["n_lmk_tracked"] = n_lmk_h
+                out["parallax_deg"] = parallax_h
+                is_kf = kf_vote(pnp_ok_h, parallax_h, n_lmk_h)
+            else:
+                is_kf = False
+        else:
+            self._par_prev = None
+            is_kf = kf_vote(pnp_ok_h, parallax_h, n_lmk_h)
         if not is_kf:
             return out
 
         out["is_kf"] = True
         # the tracking template changes below: frame k's in-flight health
-        # (measured against the OLD template) must not drive the next vote
+        # (measured against the OLD template) must not drive the next vote,
+        # and the parallax series restarts
         self._health_stale = True
+        self._par_prev = None
         did_marg = False
         K = self.caps.K
         if self.n_kf >= K:
@@ -1311,9 +1359,10 @@ class StereoSLAM:
             prof.sums["keep_overflow_lmk"] += int(pk[21])
             prof.counts["keep_overflow_lmk"] += 1
         self._ovf_dev = jnp.zeros((), jnp.int32)
-        # numerically-degenerate marginal: the prior was cleared this roll
-        # (the reference's marginalization-failure path; see
-        # marginalization.py health gate)
+        # numerically-degenerate marginal detected this roll (OBSERVATIONAL
+        # -- the square-root path keeps the marginal PSD so the factors
+        # remain usable; the flag marks the regime where the f32 chain ran
+        # on cancellation noise.  See marginalization.py's health metric.)
         out["marg_degenerate"] = bool(pk[22] > 0.5)
         self._degen_dev = jnp.zeros((), bool)
         out["ba_cost"] = float(pk[23])
@@ -1368,8 +1417,20 @@ class StereoSLAM:
             self.window.R, self.window.t, self.window.kf_mask, self.imu,
             optimize_scale=self._vi_opt_scale, iters=20,
         )
-        if not bool(res["converged"]):
+        ok_pack = np.asarray(jnp.concatenate([
+            jnp.reshape(res["converged"], (1,)).astype(jnp.float32),
+            res["ba"]]))
+        if not bool(ok_pack[0] > 0.5):
             return  # retried at the next keyframe
+        if np.linalg.norm(ok_pack[1:4]) > 1.0:
+            # accel-bias plausibility gate: |ba| ~ g*sin(tilt) -- a
+            # several-m/s^2 "bias" means the solve sat down in the
+            # gravity-tilt degeneracy valley (weak rotational excitation in
+            # THIS window's interval structure; measured |ba|=2.7 = 16 deg
+            # tilt on a lag-shifted keyframe cadence).  MEMS biases are
+            # <0.5 m/s^2; reject and retry at the next keyframe, where the
+            # longer baseline breaks the degeneracy.
+            return
         self.window = viinit.apply_alignment(
             self.window, res["R_align"], res["scale"]
         )
@@ -1688,6 +1749,8 @@ class StereoSLAM:
         self._degen_dev = jnp.zeros((), bool)
         self._health_pend = None
         self._health_stale = False
+        self._last_health = None  # pre-reset health must not drive votes
+        self._par_prev = None
         self.initialized = False
         self.vi_initialized = not self.vio
         self._ba_h = np.zeros(3)

@@ -39,6 +39,10 @@ def _device_state(slam):
 
 def save_slam(path: str, slam) -> None:
     """Serialize a StereoSLAM instance's estimator state."""
+    # complete the host logs first: an in-flight async health fetch holds
+    # the latest frame's trajectory row
+    if hasattr(slam, "_flush_health"):
+        slam._flush_health()
     leaves, _ = _flatten(_device_state(slam))
     scalars = {
         "n_kf": slam.n_kf, "initialized": slam.initialized,
@@ -60,6 +64,14 @@ def save_slam(path: str, slam) -> None:
             (ts0, ts1, np.asarray(dx).tolist(), np.asarray(inf).tolist())
             for ts0, ts1, dx, inf in slam.pose_graph_edges],
         "vio_log": [list(map(float, r)) for r in slam.vio_log],
+        # the most recently ingested health (async vote state): without it
+        # a resumed instance would block-refetch on its first frame and
+        # vote on different data than the saved instance (non-identical
+        # resume trajectories)
+        "last_health": (
+            [float(slam._last_health[0]),
+             np.asarray(slam._last_health[1]).tolist()]
+            if getattr(slam, "_last_health", None) is not None else None),
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(
@@ -90,7 +102,10 @@ def load_slam(path: str, slam) -> None:
             if any(getattr(k, "key", None) == "gm" for k in p)
             and any(getattr(k, "name", None) == "src" for k in p)
         )
-        loaded.insert(src_pos, np.asarray(leaves[src_pos]))
+        # neutral default, NOT the live instance's src (which may carry
+        # stale archived-KF indices when loading into a used estimator)
+        loaded.insert(src_pos, np.full(np.shape(leaves[src_pos]), -1,
+                                       np.int32))
     assert len(loaded) == len(leaves), "checkpoint/leaf count mismatch"
     new_leaves = []
     for arr, old in zip(loaded, leaves):
@@ -136,6 +151,11 @@ def load_slam(path: str, slam) -> None:
         (ts0, ts1, np.asarray(dx), np.asarray(inf))
         for ts0, ts1, dx, inf in meta.get("pose_graph_edges", [])]
     slam.vio_log = [tuple(r) for r in meta.get("vio_log", [])]
+    lh = meta.get("last_health")
+    if lh is not None:
+        h = np.asarray(lh[1])
+        slam._last_health = (lh[0], h, h[4:13].reshape(3, 3).copy(),
+                             h[13:16].copy())
     # tracking templates (kf_pyr/kf_tmpl) are not serialized: the next
     # keyframe re-detects and re-caches them (self-healing, one degraded
     # inter-KF track at most)

@@ -90,6 +90,25 @@ def test_profiler_field_set(world, tmp_path):
     assert "pyramids" in txt
 
 
+def test_async_health_latency_mode(world):
+    """Opt-in async_health (remote-device latency mode): steady tracking
+    frames vote on lagged health (pose_ts marks the lag), keyframe
+    candidates are confirmed fresh, no trajectory rows are lost, and ATE
+    holds on the module world."""
+    slam = StereoSLAM(world.rig, base_cfg(async_health=True))
+    lagged = 0
+    for f in world.frames:
+        out = slam.process_frame(f)
+        if "pose_ts" in out and out["pose_ts"] != f.ts:
+            lagged += 1
+    slam._flush_health()
+    est = np.asarray([t for _, _, t in slam.traj])
+    ate = synthetic.ate_rmse(est, world.gt_t[: len(est)])
+    assert ate < 0.05, ate
+    assert lagged >= 5, "async steady state never engaged"
+    assert len(slam.traj) == len(world.frames)  # one row per frame, none lost
+
+
 def test_keep_overflow_surfaced_without_profiling(world):
     """A keep set larger than the P prior slots degrades the prior
     (overflow landmarks demoted to lonely); the count must surface in the

@@ -155,6 +155,10 @@ def main(argv=None):
                  "ate_m": round(ate, 4) if np.isfinite(ate) else None,
                  "gt_pairs": n_pairs})
 
+    if args.ref_bin and not os.path.exists(args.ref_bin):
+        print(f"[compare] reference binary not found at {args.ref_bin}; "
+              "skipping the reference row")
+        args.ref_bin = None
     if args.ref_bin:
         res_r, wall_r, n_r = run_reference(
             args.ref_bin, args.ref_config or args.config, args.dataset,
