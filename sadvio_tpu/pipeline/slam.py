@@ -934,6 +934,18 @@ class StereoSLAM:
             self.vio_log.append((ts, *t_h, *v_h, *self._ba_h, *self._bg_h))
         self._last_health = (ts, health_h, R_h, t_h)
 
+    def _health_to_out(self, out):
+        """Populate the per-frame out dict from the last ingested health
+        (ONE place owns the packed-health -> out schema)."""
+        ts_h, health_h, R_h, t_h = self._last_health
+        out["pose"] = (R_h, t_h)
+        out["pose_ts"] = ts_h  # == frame ts unless async-lagged by one
+        out["pnp_ok"] = bool(health_h[0] > 0.5)
+        out["n_tracked"] = int(health_h[2])
+        out["n_lmk_tracked"] = int(health_h[3])
+        out["parallax_deg"] = float(health_h[1])
+        return ts_h, health_h, R_h, t_h
+
     def _flush_health(self):
         """Harvest a still-pending async health fetch (the final frame's
         trajectory/log rows) -- called at run end, before log writes, and
@@ -1101,17 +1113,11 @@ class StereoSLAM:
             # the fused track+predict+filter+ESKF kernel; the health fetch
             # above already forced it
             prof.toc("track_predict_filter")
-        ts_h, health_h, R_h, t_h = self._last_health
-        pnp_ok_h = bool(health_h[0] > 0.5)
         # constant-velocity update (computed inside _frontend; device refs)
         self.dT = (dR_cv, dt_cv)
         self.R_cur, self.t_cur, self.v_cur = R_new, t_new, v_pred
-        out["pose"] = (R_h, t_h)
-        out["pose_ts"] = ts_h  # == frame.ts unless async-lagged by one
-        out["pnp_ok"] = pnp_ok_h
-        out["n_tracked"] = int(health_h[2])
-        out["n_lmk_tracked"] = int(health_h[3])
-        out["parallax_deg"] = float(health_h[1])
+        ts_h, health_h, R_h, t_h = self._health_to_out(out)
+        pnp_ok_h = bool(health_h[0] > 0.5)
 
         # failure recovery (slamBiMonoVIO.cpp:545-553): checked at frame rate
         if self.successive_fails > 5:
@@ -1163,16 +1169,10 @@ class StereoSLAM:
                 self._ingest_health(frame.ts, np.asarray(health))
                 self._health_pend = None
                 self._par_prev = None
-                ts_h, health_h, R_h, t_h = self._last_health
+                ts_h, health_h, R_h, t_h = self._health_to_out(out)
                 pnp_ok_h = bool(health_h[0] > 0.5)
                 parallax_h = float(health_h[1])
                 n_lmk_h = int(health_h[3])
-                out["pose"] = (R_h, t_h)
-                out["pose_ts"] = ts_h
-                out["pnp_ok"] = pnp_ok_h
-                out["n_tracked"] = int(health_h[2])
-                out["n_lmk_tracked"] = n_lmk_h
-                out["parallax_deg"] = parallax_h
                 is_kf = kf_vote(pnp_ok_h, parallax_h, n_lmk_h)
             else:
                 is_kf = False

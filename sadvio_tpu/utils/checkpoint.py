@@ -151,11 +151,20 @@ def load_slam(path: str, slam) -> None:
         (ts0, ts1, np.asarray(dx), np.asarray(inf))
         for ts0, ts1, dx, inf in meta.get("pose_graph_edges", [])]
     slam.vio_log = [tuple(r) for r in meta.get("vio_log", [])]
+    # async-health host state: a checkpoint restore must not leave any of
+    # the live instance's in-flight fetch / vote state behind (loading into
+    # a USED estimator would otherwise ingest a pre-load pending fetch as
+    # an out-of-order trajectory row, or vote on pre-load health)
+    slam._health_pend = None
+    slam._health_stale = False
+    slam._par_prev = None
     lh = meta.get("last_health")
     if lh is not None:
         h = np.asarray(lh[1])
         slam._last_health = (lh[0], h, h[4:13].reshape(3, 3).copy(),
                              h[13:16].copy())
+    else:
+        slam._last_health = None
     # tracking templates (kf_pyr/kf_tmpl) are not serialized: the next
     # keyframe re-detects and re-caches them (self-healing, one degraded
     # inter-KF track at most)

@@ -155,8 +155,9 @@ def main(argv=None):
                  "ate_m": round(ate, 4) if np.isfinite(ate) else None,
                  "gt_pairs": n_pairs})
 
-    if args.ref_bin and not os.path.exists(args.ref_bin):
-        print(f"[compare] reference binary not found at {args.ref_bin}; "
+    if args.ref_bin and not (os.path.isfile(args.ref_bin)
+                             and os.access(args.ref_bin, os.X_OK)):
+        print(f"[compare] no executable reference binary at {args.ref_bin}; "
               "skipping the reference row")
         args.ref_bin = None
     if args.ref_bin:

@@ -66,6 +66,11 @@ def phase_eval(platform):
 
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # loud failure instead of a vacuous CPU-vs-CPU PASS when the requested
+    # backend is absent (JAX silently falls back)
+    got = jax.devices()[0].platform
+    assert (got == "cpu") == (platform == "cpu"), (
+        f"requested platform {platform!r} but JAX initialized {got!r}")
     import numpy as np
 
     from sadvio_tpu.backend import marginalization as marg
@@ -136,7 +141,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=("capture", "eval", "compare"),
                     required=True)
-    ap.add_argument("--platform", default="tpu")
+    ap.add_argument("--platform", default="tpu",
+                    choices=("tpu", "cpu"))
     args = ap.parse_args()
     if args.phase == "capture":
         phase_capture()
